@@ -1,0 +1,561 @@
+"""QuadSwarm multi-agent environment as one pure, fully-batched step function.
+
+Reference: gym_art/quadrotor_multi/quadrotor_multi.py (QuadrotorEnvMulti) +
+quadrotor_single.py (QuadrotorSingle).  The N per-drone Python objects and
+their per-agent step loop (quadrotor_multi.py:416-425) become a single state
+pytree with a leading agent axis; `env_step` reproduces the reference's tick
+pipeline exactly (SURVEY.md §3.2):
+
+    dynamics -> per-drone reward -> collision detection (drone/obstacle/room)
+    -> collision rewards -> interaction forces -> scenario step -> obs
+    -> done/metrics -> masked auto-reset
+
+vmap over `env_step` gives thousands of independent swarm envs per chip; the
+training stack shards that batch over the device mesh.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from quadswarm_tpu.env import collisions as coll
+from quadswarm_tpu.env import obstacles as obst
+from quadswarm_tpu.env.controls import apply_control
+from quadswarm_tpu.env.downwash import apply_downwash
+from quadswarm_tpu.env.dynamics import (
+    DroneState, DynamicsConfig, dynamics_step, init_state,
+)
+from quadswarm_tpu.env.neighbors import neighbor_clip_bounds, neighbor_obs
+from quadswarm_tpu.env.obs import obs_size, self_obs
+from quadswarm_tpu.env.reward import RewardCoeffs, compute_reward, proximity_penalties
+from quadswarm_tpu.env.scenarios import (
+    MIX_MODES_MULTI, MIX_MODES_OBSTACLES, MIX_MODES_OBSTACLES_SINGLE,
+    MIX_MODES_SINGLE, MODE_IDS, ScenarioConfig, ScenarioState,
+    scenario_reset, scenario_step,
+)
+from quadswarm_tpu.env.sensor import SensorNoiseParams, add_noise
+
+GRAV = 9.81
+
+
+@struct.dataclass
+class EnvConfig:
+    """Static env configuration (mirrors QuadrotorEnvMulti.__init__ kwargs +
+    the QuadrotorSingle episode parameters)."""
+
+    num_agents: int = struct.field(pytree_node=False, default=8)
+    ep_time: float = struct.field(pytree_node=False, default=15.0)
+    sim_freq: float = struct.field(pytree_node=False, default=200.0)
+    sim_steps: int = struct.field(pytree_node=False, default=2)
+    room_dims: tuple = struct.field(pytree_node=False, default=(10.0, 10.0, 10.0))
+    obs_repr: str = struct.field(pytree_node=False, default="xyz_vxyz_R_omega")
+    neighbor_obs_type: str = struct.field(pytree_node=False, default="pos_vel")
+    neighbor_visible_num: int = struct.field(pytree_node=False, default=-1)
+    collision_hitbox_radius: float = struct.field(pytree_node=False, default=2.0)
+    collision_falloff_radius: float = struct.field(pytree_node=False, default=4.0)
+    use_obstacles: bool = struct.field(pytree_node=False, default=False)
+    obst_density: float = struct.field(pytree_node=False, default=0.2)
+    obst_size: float = struct.field(pytree_node=False, default=1.0)
+    obst_spawn_area: tuple = struct.field(pytree_node=False, default=(6.0, 6.0))
+    use_downwash: bool = struct.field(pytree_node=False, default=False)
+    quads_mode: str = struct.field(pytree_node=False, default="static_same_goal")
+    control_mode: str = struct.field(pytree_node=False, default="raw")
+    zero_action_middle: bool = struct.field(pytree_node=False, default=True)
+    init_random_state: bool = struct.field(pytree_node=False, default=False)
+    use_sensor_noise: bool = struct.field(pytree_node=False, default=True)
+    apply_collision_force: bool = struct.field(pytree_node=False, default=True)
+    dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.sim_freq
+
+    @property
+    def control_freq(self) -> float:
+        return self.sim_freq / self.sim_steps
+
+    @property
+    def control_dt(self) -> float:
+        return 1.0 / self.control_freq
+
+    @property
+    def ep_len(self) -> int:
+        return int(self.ep_time / (self.dt * self.sim_steps))
+
+    @property
+    def num_use_neighbor_obs(self) -> int:
+        if self.neighbor_obs_type == "none":
+            return 0
+        if self.neighbor_visible_num == -1:
+            return self.num_agents - 1
+        return self.neighbor_visible_num
+
+    @property
+    def room_box(self) -> tuple:
+        rd = self.room_dims
+        return ((-rd[0] / 2.0, -rd[1] / 2.0, 0.0), (rd[0] / 2.0, rd[1] / 2.0, rd[2]))
+
+    @property
+    def spawn_box(self) -> float:
+        # quadrotor_single.py:215-218
+        return 0.1 if self.use_obstacles else 2.0
+
+    @property
+    def num_obstacle_cells(self) -> int:
+        return int(self.obst_spawn_area[0]) * int(self.obst_spawn_area[1])
+
+    @property
+    def obs_dim(self) -> int:
+        return obs_size(self.obs_repr, self.neighbor_obs_type,
+                        self.num_use_neighbor_obs, self.use_obstacles)
+
+    @property
+    def action_dim(self) -> int:
+        from quadswarm_tpu.env.controls import action_dim
+        return action_dim(self.control_mode)
+
+    def dynamics_config(self) -> DynamicsConfig:
+        return DynamicsConfig(
+            dt=self.dt, sim_steps=self.sim_steps, room_box=self.room_box)
+
+    def scenario_config(self) -> ScenarioConfig:
+        return ScenarioConfig(
+            num_agents=self.num_agents, control_freq=self.control_freq,
+            ep_time=self.ep_time, room_dims=self.room_dims, box=self.spawn_box,
+            obst_area=(int(self.obst_spawn_area[0]), int(self.obst_spawn_area[1])))
+
+    def mode_list(self) -> tuple:
+        """Mix-mode candidates (mix.py:46-57)."""
+        if self.quads_mode != "mix":
+            return (MODE_IDS[self.quads_mode],)
+        if self.num_agents == 1:
+            return MIX_MODES_OBSTACLES_SINGLE if self.use_obstacles else MIX_MODES_SINGLE
+        return MIX_MODES_OBSTACLES if self.use_obstacles else MIX_MODES_MULTI
+
+    def __hash__(self):
+        return hash((self.num_agents, self.ep_time, self.sim_freq, self.sim_steps,
+                     self.room_dims, self.obs_repr, self.neighbor_obs_type,
+                     self.neighbor_visible_num, self.collision_hitbox_radius,
+                     self.collision_falloff_radius, self.use_obstacles,
+                     self.obst_density, self.obst_size, self.obst_spawn_area,
+                     self.use_downwash, self.quads_mode, self.control_mode,
+                     self.zero_action_middle, self.init_random_state,
+                     self.use_sensor_noise, self.apply_collision_force,
+                     str(self.dtype)))
+
+    def __eq__(self, other):
+        return isinstance(other, EnvConfig) and hash(self) == hash(other)
+
+
+@struct.dataclass
+class EnvState:
+    """Full per-env (swarm) state: drone dynamics with leading agent axis,
+    scenario variables, collision bookkeeping, and episode metric counters."""
+
+    dyn: DroneState                  # leading axis N
+    scenario: ScenarioState
+    rew_coeff: RewardCoeffs          # data (annealed by the training wrapper)
+    tick: jax.Array                  # int32, control ticks since reset
+    prev_coll_pairs: jax.Array       # (N, N) bool — colliding pairs last tick
+    prev_coll_ids: jax.Array         # (N,) bool — drones in any pair last tick
+    prev_obst_hits: jax.Array        # (N,) bool
+    prev_wall: jax.Array             # (N,) bool
+    prev_ceiling: jax.Array          # (N,) bool
+    prev_room: jax.Array             # (N,) bool
+    obst_active: jax.Array           # (C,) bool
+    obst_pos: jax.Array              # (C, 3)
+    obst_density: jax.Array          # f (domain randomization)
+    obst_size: jax.Array             # f
+    gyro_bias: jax.Array             # (N, 3)
+    dist5: jax.Array                 # (N, 5) ring buffer of recent distances
+    # episode counters (quadrotor_multi.py:141-206)
+    collisions_per_episode: jax.Array
+    collisions_after_settle: jax.Array
+    collisions_final_5s: jax.Array
+    obst_collisions_per_episode: jax.Array
+    obst_collisions_after_settle: jax.Array
+    collisions_floor_per_episode: jax.Array
+    collisions_wall_per_episode: jax.Array
+    collisions_ceiling_per_episode: jax.Array
+    collisions_room_per_episode: jax.Array
+    obst_coll_dist_3_5: jax.Array
+    obst_coll_dist_5: jax.Array
+    agent_col_agent: jax.Array       # (N,) 1.0 = never collided with a drone
+    agent_col_obst: jax.Array        # (N,) 1.0 = never collided with an obstacle
+    reached_goal: jax.Array          # (N,) bool
+    dist_sum_1s: jax.Array           # (N,) trailing-window distance sums
+    dist_sum_3s: jax.Array
+    dist_sum_5s: jax.Array
+    crashes_last_episode: jax.Array  # f — rew_crash accumulation (replay gate)
+
+
+def _sample_spawn(cfg: EnvConfig, key: jax.Array, spawn_points: jax.Array):
+    """Spawn pose around the scenario spawn points
+    (quadrotor_single.py:387-447, init_random_state=False path).
+
+    The reference's rejection loop "random yaw until facing within 60 deg of
+    -pos" is replaced by directly sampling yaw = atan2(-y,-x) + U(-pi/3,pi/3),
+    which is the same distribution.
+    """
+    n = cfg.num_agents
+    dtype = cfg.dtype
+    k_pos, k_yaw = jax.random.split(key)
+    box = cfg.spawn_box
+    offset = jax.random.uniform(k_pos, (n, 3), dtype, -box, box)
+    pos = spawn_points + offset
+    pos = pos.at[:, 2].set(jnp.maximum(pos[:, 2], 0.75))
+    face = jnp.arctan2(-pos[:, 1], -pos[:, 0])
+    yaw = face + jax.random.uniform(k_yaw, (n,), dtype, -jnp.pi / 3, jnp.pi / 3)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(yaw)
+    one = jnp.ones_like(yaw)
+    rot = jnp.stack([
+        jnp.stack([c, -s, zero], -1),
+        jnp.stack([s, c, zero], -1),
+        jnp.stack([zero, zero, one], -1),
+    ], axis=-2)
+    vel = jnp.zeros((n, 3), dtype)
+    omega = jnp.zeros((n, 3), dtype)
+    return pos, vel, rot, omega
+
+
+def _compute_obs(cfg: EnvConfig, dyn: DroneState, goals: jax.Array,
+                 gyro_bias: jax.Array, key: jax.Array,
+                 obst_active: jax.Array, obst_pos: jax.Array,
+                 obst_size_val) -> tuple[jax.Array, jax.Array]:
+    """Assemble the (N, obs_dim) observation: noisy self obs + neighbor
+    relative obs + obstacle SDF patch (quadrotor_multi.py:592-607)."""
+    noise_params = SensorNoiseParams(bypass=not cfg.use_sensor_noise)
+    pos, vel, rot, omega, _, gyro_bias = add_noise(
+        noise_params, key, dyn.pos, dyn.vel, dyn.rot, dyn.omega,
+        dyn.accelerometer, cfg.dt, gyro_bias)
+    parts = [self_obs(cfg.obs_repr, pos, vel, rot, omega, goals, cfg.room_box)]
+    if cfg.num_use_neighbor_obs > 0:
+        clip_lo, clip_hi = neighbor_clip_bounds(
+            cfg.num_use_neighbor_obs, cfg.room_dims, 3.0, cfg.dtype)
+        # Neighbor obs uses TRUE positions (quadrotor_multi.py:425,594-596)
+        parts.append(neighbor_obs(dyn.pos, dyn.vel, cfg.num_use_neighbor_obs,
+                                  clip_lo, clip_hi))
+    if cfg.use_obstacles:
+        parts.append(obst.surround_sdf_obs(
+            dyn.pos[:, :2], obst_pos[:, :2], obst_active, obst_size_val / 2.0))
+    return jnp.concatenate(parts, axis=-1).astype(cfg.dtype), gyro_bias
+
+
+def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
+              rew_coeff: RewardCoeffs | None = None,
+              obst_density=None, obst_size=None,
+              mode=None) -> tuple[EnvState, jax.Array]:
+    """Fresh episode: obstacles -> scenario -> spawn -> obs
+    (quadrotor_multi.py:339-411)."""
+    n = cfg.num_agents
+    dtype = cfg.dtype
+    keys = jax.random.split(key, 6)
+    if rew_coeff is None:
+        rew_coeff = RewardCoeffs()
+    rew_coeff = jax.tree.map(lambda x: jnp.asarray(x, dtype), rew_coeff)
+
+    density = jnp.asarray(cfg.obst_density if obst_density is None else obst_density, dtype)
+    size = jnp.asarray(cfg.obst_size if obst_size is None else obst_size, dtype)
+
+    # Obstacles (fixed capacity = grid cells, masked)
+    n_cells = cfg.num_obstacle_cells
+    centers = jnp.asarray(obst.cell_centers(
+        int(cfg.obst_spawn_area[0]), int(cfg.obst_spawn_area[1])), dtype)
+    if cfg.use_obstacles:
+        obst_active, obst_pos = obst.generate_obstacle_grid(
+            keys[0], n_cells, density, centers, cfg.room_dims[2])
+    else:
+        obst_active = jnp.zeros((n_cells,), bool)
+        obst_pos = jnp.concatenate(
+            [centers, jnp.full((n_cells, 1), cfg.room_dims[2] / 2, dtype)], axis=-1)
+
+    # Scenario (mode sampled from the mix list; single-element list otherwise;
+    # an explicit `mode` override is provided for tests and curricula)
+    if mode is None:
+        mode_list = jnp.asarray(cfg.mode_list(), jnp.int32)
+        mode = mode_list[jax.random.randint(keys[1], (), 0, len(cfg.mode_list()))]
+    else:
+        mode = jnp.asarray(mode, jnp.int32)
+    scen = scenario_reset(cfg.scenario_config(), keys[2], mode,
+                          obst_active, centers, dtype)
+
+    pos, vel, rot, omega = _sample_spawn(cfg, keys[3], scen.spawn_points)
+    dyn = init_state((n,), dtype).replace(pos=pos, vel=vel, rot=rot, omega=omega)
+
+    zero_i = jnp.zeros((), jnp.int32)
+    state = EnvState(
+        dyn=dyn,
+        scenario=scen,
+        rew_coeff=rew_coeff,
+        tick=zero_i,
+        prev_coll_pairs=jnp.zeros((n, n), bool),
+        prev_coll_ids=jnp.zeros((n,), bool),
+        prev_obst_hits=jnp.zeros((n,), bool),
+        prev_wall=jnp.zeros((n,), bool),
+        prev_ceiling=jnp.zeros((n,), bool),
+        prev_room=jnp.zeros((n,), bool),
+        obst_active=obst_active,
+        obst_pos=obst_pos,
+        obst_density=density,
+        obst_size=size,
+        gyro_bias=jnp.zeros((n, 3), dtype),
+        dist5=jnp.zeros((n, 5), dtype),
+        collisions_per_episode=zero_i,
+        collisions_after_settle=zero_i,
+        collisions_final_5s=zero_i,
+        obst_collisions_per_episode=zero_i,
+        obst_collisions_after_settle=zero_i,
+        collisions_floor_per_episode=zero_i,
+        collisions_wall_per_episode=zero_i,
+        collisions_ceiling_per_episode=zero_i,
+        collisions_room_per_episode=zero_i,
+        obst_coll_dist_3_5=zero_i,
+        obst_coll_dist_5=zero_i,
+        agent_col_agent=jnp.ones((n,), dtype),
+        agent_col_obst=jnp.ones((n,), dtype),
+        reached_goal=jnp.zeros((n,), bool),
+        dist_sum_1s=jnp.zeros((n,), dtype),
+        dist_sum_3s=jnp.zeros((n,), dtype),
+        dist_sum_5s=jnp.zeros((n,), dtype),
+        crashes_last_episode=jnp.zeros((), dtype),
+    )
+    obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias, keys[4],
+                                  obst_active, obst_pos, size)
+    return state.replace(gyro_bias=gyro_bias), obs
+
+
+def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
+             key: jax.Array):
+    """One control tick for the whole swarm.  Returns
+    (state', obs, rewards (N,), dones (N,), info dict)."""
+    n = cfg.num_agents
+    dtype = cfg.dtype
+    keys = jax.random.split(key, 10)
+    dyn_cfg = cfg.dynamics_config()
+    goals = state.scenario.goals
+
+    # ---- 1. Per-drone control + dynamics (quadrotor_single._step) ----------
+    thrust_cmds = apply_control(cfg.control_mode, actions.astype(dtype),
+                                state=state.dyn, goal=goals,
+                                zero_action_middle=cfg.zero_action_middle)
+    dyn_keys = jax.random.split(keys[0], n)
+    dyn = jax.vmap(lambda s, t, k: dynamics_step(params, dyn_cfg, s, t, k))(
+        state.dyn, thrust_cmds, dyn_keys)
+
+    time_remain = cfg.ep_len - state.tick
+    rewards, rew_info = compute_reward(
+        state.rew_coeff, dyn.pos, goals, actions.astype(dtype), dyn.rot, dyn.omega,
+        dyn.on_floor, cfg.dt)
+    tick = state.tick + 1
+    done = tick > cfg.ep_len
+
+    # ---- 2. Collision detection ---------------------------------------------
+    hitbox = cfg.collision_hitbox_radius * params.arm
+    falloff = cfg.collision_falloff_radius * params.arm
+    dist, curr_pairs = coll.collision_matrix(dyn.pos, hitbox)
+    curr_ids = jnp.any(curr_pairs, axis=-1)
+    unique_ids = curr_ids & ~state.prev_coll_ids        # setdiff1d on drone ids
+    new_pairs = curr_pairs & ~state.prev_coll_pairs     # new pair set
+
+    collisions_curr_tick = jnp.sum(unique_ids).astype(jnp.int32) // 2
+    grace = tick >= jnp.int32(1.5 * cfg.control_freq)
+    final5 = time_remain <= jnp.int32(5.0 * cfg.control_freq)
+    collisions_per_episode = state.collisions_per_episode + collisions_curr_tick
+    collisions_after_settle = state.collisions_after_settle + jnp.where(
+        grace, collisions_curr_tick, 0)
+    collisions_final_5s = state.collisions_final_5s + jnp.where(
+        final5, collisions_curr_tick, 0)
+    agent_col_agent = jnp.where((collisions_curr_tick > 0) & grace & unique_ids,
+                                0.0, state.agent_col_agent)
+
+    # Obstacle collisions
+    if cfg.use_obstacles:
+        obst_hit, obst_idx = obst.obstacle_collisions(
+            dyn.pos[:, :2], state.obst_pos[:, :2], state.obst_active,
+            state.obst_size / 2.0, params.arm)
+        curr_obst = obst_hit & ~state.prev_obst_hits
+        n_obst_coll = jnp.sum(curr_obst).astype(jnp.int32)
+        obst_collisions_per_episode = state.obst_collisions_per_episode + n_obst_coll
+        obst_after = state.obst_collisions_after_settle + jnp.where(grace, n_obst_coll, 0)
+        # distance-binned obstacle collision stats (quadrotor_multi.py:471-478)
+        rel_dist = jnp.linalg.norm(dyn.pos - goals, axis=-1)
+        d35 = jnp.sum(curr_obst & grace & (rel_dist > 3.5)).astype(jnp.int32)
+        d5 = jnp.sum(curr_obst & grace & (rel_dist > 5.0)).astype(jnp.int32)
+        obst_dist_3_5 = state.obst_coll_dist_3_5 + d35
+        obst_dist_5 = state.obst_coll_dist_5 + d5
+        agent_col_obst = jnp.where((n_obst_coll > 0) & grace & curr_obst,
+                                   0.0, state.agent_col_obst)
+    else:
+        obst_hit = jnp.zeros((n,), bool)
+        obst_idx = jnp.zeros((n,), jnp.int32)
+        curr_obst = obst_hit
+        obst_collisions_per_episode = state.obst_collisions_per_episode
+        obst_after = state.obst_collisions_after_settle
+        obst_dist_3_5 = state.obst_coll_dist_3_5
+        obst_dist_5 = state.obst_coll_dist_5
+        agent_col_obst = state.agent_col_obst
+
+    # Room collisions (quadrotor_multi.py:289-302: floor raw, wall/ceiling
+    # setdiff'd against previous tick)
+    floor_crash = dyn.crashed_floor
+    wall_crash = dyn.crashed_wall & ~state.prev_wall
+    ceiling_crash = dyn.crashed_ceiling & ~state.prev_ceiling
+    room_crash = (floor_crash | wall_crash | ceiling_crash) & ~state.prev_room
+
+    collisions_floor = state.collisions_floor_per_episode + jnp.where(
+        grace, jnp.sum(floor_crash).astype(jnp.int32), 0)
+    collisions_wall = state.collisions_wall_per_episode + jnp.where(
+        grace, jnp.sum(wall_crash).astype(jnp.int32), 0)
+    collisions_ceiling = state.collisions_ceiling_per_episode + jnp.where(
+        grace, jnp.sum(ceiling_crash).astype(jnp.int32), 0)
+    collisions_room = state.collisions_room_per_episode + jnp.where(
+        grace, jnp.sum(room_crash).astype(jnp.int32), 0)
+
+    # ---- 3. Collision rewards (quadrotor_multi.py:499-546) -----------------
+    rew_quadcol = -state.rew_coeff.quadcol_bin * unique_ids.astype(dtype)
+    # reference filters to pairs with dist <= falloff (:443-444)
+    rew_proximity = -proximity_penalties(
+        dist, dist <= falloff, falloff, state.rew_coeff.quadcol_bin_smooth_max,
+        cfg.control_dt)
+    rew_obst_raw = -curr_obst.astype(dtype)
+    rew_quadcol_obst = state.rew_coeff.quadcol_bin_obst * rew_obst_raw
+
+    rewards = rewards + rew_quadcol + rew_proximity
+    if cfg.use_obstacles:
+        rewards = rewards + rew_quadcol_obst
+
+    # Goal-distance tracking for reached_goal / distance metrics
+    dist_to_goal = jnp.linalg.norm(dyn.pos - goals, axis=-1)
+    dist5 = jnp.concatenate([state.dist5[:, 1:], dist_to_goal[:, None]], axis=1)
+    have5 = tick >= 5
+    reached = state.reached_goal | (
+        have5 & (jnp.mean(dist5, axis=1) < state.scenario.approach_goal_metric))
+    last_ticks = cfg.ep_len + 1
+    in_1s = tick > last_ticks - jnp.int32(1 * cfg.control_freq)
+    in_3s = tick > last_ticks - jnp.int32(3 * cfg.control_freq)
+    in_5s = tick > last_ticks - jnp.int32(5 * cfg.control_freq)
+    dist_sum_1s = state.dist_sum_1s + jnp.where(in_1s, dist_to_goal, 0.0)
+    dist_sum_3s = state.dist_sum_3s + jnp.where(in_3s, dist_to_goal, 0.0)
+    dist_sum_5s = state.dist_sum_5s + jnp.where(in_5s, dist_to_goal, 0.0)
+
+    # ---- 4. Interaction forces (quadrotor_multi.py:548-587) -----------------
+    vel, omega = dyn.vel, dyn.omega
+    if cfg.use_downwash:
+        vel, omega, _ = apply_downwash(keys[1], dyn.pos, vel, omega, dyn.rot,
+                                       cfg.control_dt)
+    if cfg.apply_collision_force:
+        vel, omega = coll.drone_collision_response(
+            keys[2], dyn.pos, vel, omega, new_pairs)
+        if cfg.use_obstacles:
+            hit_obst_pos = state.obst_pos[obst_idx]
+            vel, omega = coll.obstacle_collision_response(
+                keys[3], dyn.pos, vel, omega, hit_obst_pos, state.obst_size,
+                curr_obst)
+        vel, omega = coll.wall_collision_response(
+            keys[4], dyn.pos, vel, omega, cfg.room_box, wall_crash)
+        vel, omega = coll.ceiling_collision_response(
+            keys[5], vel, omega, ceiling_crash)
+    dyn = dyn.replace(vel=vel, omega=omega)
+
+    # ---- 5. Scenario step ----------------------------------------------------
+    n_cells = cfg.num_obstacle_cells
+    centers = state.obst_pos[:, :2]
+    scen = scenario_step(cfg.scenario_config(), state.scenario, tick, keys[6],
+                         state.obst_active, centers)
+
+    # ---- 6. Observations ------------------------------------------------------
+    obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias, keys[7],
+                                  state.obst_active, state.obst_pos,
+                                  state.obst_size)
+
+    crashes_last_episode = state.crashes_last_episode + rew_info.rew_crash[0]
+
+    new_state = state.replace(
+        dyn=dyn, scenario=scen, tick=tick,
+        prev_coll_pairs=curr_pairs, prev_coll_ids=curr_ids,
+        prev_obst_hits=obst_hit,
+        prev_wall=wall_crash, prev_ceiling=ceiling_crash, prev_room=room_crash,
+        gyro_bias=gyro_bias, dist5=dist5,
+        collisions_per_episode=collisions_per_episode,
+        collisions_after_settle=collisions_after_settle,
+        collisions_final_5s=collisions_final_5s,
+        obst_collisions_per_episode=obst_collisions_per_episode,
+        obst_collisions_after_settle=obst_after,
+        collisions_floor_per_episode=collisions_floor,
+        collisions_wall_per_episode=collisions_wall,
+        collisions_ceiling_per_episode=collisions_ceiling,
+        collisions_room_per_episode=collisions_room,
+        obst_coll_dist_3_5=obst_dist_3_5,
+        obst_coll_dist_5=obst_dist_5,
+        agent_col_agent=agent_col_agent,
+        agent_col_obst=agent_col_obst,
+        reached_goal=reached,
+        dist_sum_1s=dist_sum_1s, dist_sum_3s=dist_sum_3s, dist_sum_5s=dist_sum_5s,
+        crashes_last_episode=crashes_last_episode,
+    )
+
+    # ---- 7. Episode metrics + masked auto-reset ------------------------------
+    info = _episode_stats(cfg, new_state, done)
+    info["rewards/rew_pos"] = rew_info.rew_pos
+    info["rewards/rew_action"] = rew_info.rew_action
+    info["rewards/rew_crash"] = rew_info.rew_crash
+    info["rewards/rew_orient"] = rew_info.rew_orient
+    info["rewards/rew_spin"] = rew_info.rew_spin
+    info["rewards/rewraw_pos"] = rew_info.rewraw_pos
+    info["rewards/rewraw_crash"] = rew_info.rewraw_crash
+    info["rewards/rew_quadcol"] = rew_quadcol
+    info["rewards/rew_proximity"] = rew_proximity
+    info["rewards/rewraw_quadcol"] = -unique_ids.astype(dtype)
+    info["rewards/rew_quadcol_obstacle"] = rew_quadcol_obst
+    info["rewards/rewraw_quadcol_obstacle"] = rew_obst_raw
+
+    reset_state, reset_obs = env_reset(
+        cfg, params, keys[8], rew_coeff=state.rew_coeff,
+        obst_density=state.obst_density, obst_size=state.obst_size)
+    new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
+                             reset_state, new_state)
+    obs = jnp.where(done, reset_obs, obs)
+
+    dones = jnp.broadcast_to(done, (n,))
+    return new_state, obs, rewards, dones, info
+
+
+def _episode_stats(cfg: EnvConfig, s: EnvState, done) -> dict:
+    """Per-episode metrics emitted at done (quadrotor_multi.py:625-718).
+    Scenario-prefixed copies are reconstructed host-side from 'scenario_mode'."""
+    n = cfg.num_agents
+    dtype = cfg.dtype
+    freq = cfg.control_freq
+    agent_col_flag = jnp.logical_and(s.agent_col_agent > 0, s.agent_col_obst > 0)
+    success = jnp.logical_and(agent_col_flag, s.reached_goal)
+    deadlock = jnp.logical_and(agent_col_flag, ~s.reached_goal)
+    info = {
+        "episode_done": done,
+        "scenario_mode": s.scenario.mode,
+        "num_collisions": s.collisions_per_episode,
+        "num_collisions_after_settle": s.collisions_after_settle,
+        "num_collisions_final_5_s": s.collisions_final_5s,
+        "num_collisions_with_room": s.collisions_room_per_episode,
+        "num_collisions_with_floor": s.collisions_floor_per_episode,
+        "num_collisions_with_wall": s.collisions_wall_per_episode,
+        "num_collisions_with_ceiling": s.collisions_ceiling_per_episode,
+        "num_collisions_obst_quad": s.obst_collisions_per_episode,
+        "num_collisions_obst_quad_after_settle": s.obst_collisions_after_settle,
+        "num_collisions_obst_quad_3_5": s.obst_coll_dist_3_5,
+        "num_collisions_obst_quad_5": s.obst_coll_dist_5,
+        "distance_to_goal_1s": s.dist_sum_1s / jnp.asarray(1 * freq, dtype),
+        "distance_to_goal_3s": s.dist_sum_3s / jnp.asarray(3 * freq, dtype),
+        "distance_to_goal_5s": s.dist_sum_5s / jnp.asarray(5 * freq, dtype),
+        "metric/agent_success_rate": jnp.sum(success).astype(dtype) / n,
+        "metric/agent_deadlock_rate": jnp.sum(deadlock).astype(dtype) / n,
+        "metric/agent_col_rate": 1.0 - jnp.sum(agent_col_flag).astype(dtype) / n,
+        "metric/agent_neighbor_col_rate": 1.0 - jnp.sum(s.agent_col_agent) / n,
+        "metric/agent_obst_col_rate": 1.0 - jnp.sum(s.agent_col_obst) / n,
+    }
+    return info

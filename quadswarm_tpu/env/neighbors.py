@@ -1,0 +1,61 @@
+"""Neighbor observation gather: k-nearest selection by the reference's
+distance+radial-velocity metric.
+
+Reference: quadrotor_multi.py:212-279 (get_rel_pos_vel_item,
+neighborhood_indices, extend_obs_space).  The per-drone Python loops become a
+single batched top-k.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def neighbor_obs(pos: jax.Array, vel: jax.Array, num_use_neighbor_obs: int,
+                 clip_lo: jax.Array | None = None,
+                 clip_hi: jax.Array | None = None) -> jax.Array:
+    """(N,3),(N,3) -> (N, k*6) relative [pos, vel] of the k closest neighbors.
+
+    Closeness metric (quadrotor_multi.py:262-270):
+        m(i,j) = max(|p_j - p_i|, 0.01) + unit(p_j - p_i) . (v_j - v_i)
+    With k == N-1 the ordering is the reference's plain index order (all
+    neighbors, no sort) — matched exactly.
+    """
+    n = pos.shape[0]
+    k = num_use_neighbor_obs
+    rel_pos = pos[None, :, :] - pos[:, None, :]   # (i, j) = p_j - p_i
+    rel_vel = vel[None, :, :] - vel[:, None, :]
+    eye = jnp.eye(n, dtype=bool)
+
+    if k >= n - 1:
+        # All neighbors in index order, skipping self (reference indices
+        # [[j for j != i]]).  Build via a static gather index matrix.
+        idx = jnp.asarray(
+            [[j for j in range(n) if j != i] for i in range(n)], jnp.int32
+        )  # (N, N-1)
+    else:
+        dist = jnp.linalg.norm(rel_pos, axis=-1)
+        dist_safe = jnp.maximum(dist, 0.01)
+        unit = rel_pos / dist_safe[..., None]
+        metric = dist_safe + jnp.sum(unit * rel_vel, axis=-1)
+        metric = jnp.where(eye, jnp.inf, metric)
+        # argsort ascending == reference argsort; take first k
+        idx = jnp.argsort(metric, axis=-1)[:, :k].astype(jnp.int32)
+
+    rows = jnp.arange(n)[:, None]
+    sel_pos = rel_pos[rows, idx]   # (N, k, 3)
+    sel_vel = rel_vel[rows, idx]
+    obs = jnp.concatenate([sel_pos, sel_vel], axis=-1).reshape(n, -1)
+    if clip_lo is not None:
+        obs = jnp.clip(obs, clip_lo, clip_hi)
+    return obs
+
+
+def neighbor_clip_bounds(num_use_neighbor_obs: int, room_dims, vxyz_max: float,
+                         dtype=jnp.float32):
+    """Observation-space clip box for neighbor obs (quadrotor_multi.py:109-115:
+    rxyz in ±room_range, rvxyz in ±2*vxyz_max)."""
+    room_range = jnp.asarray(room_dims, dtype)
+    one = jnp.concatenate([room_range, 2.0 * vxyz_max * jnp.ones(3, dtype)])
+    full = jnp.tile(one, (num_use_neighbor_obs,))
+    return -full, full

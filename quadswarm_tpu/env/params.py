@@ -15,6 +15,7 @@ import dataclasses
 from typing import Any
 
 import numpy as np
+from flax import struct
 
 GRAV = 9.81
 EPS = 1e-6
@@ -269,14 +270,13 @@ def compute_quad_inertia(geom: dict, simplified: bool = False) -> dict:
 # DynamicsParams: everything the jitted step kernel needs
 # ---------------------------------------------------------------------------
 
-@dataclasses.dataclass
+@struct.dataclass
 class DynamicsParams:
-    """Flat numeric parameters consumed by the dynamics kernel.
+    """Flat numeric parameters consumed by the dynamics kernel (a pytree).
 
-    Fields are plain floats / small numpy arrays; `stack` turns a list of
-    these into per-drone-batched arrays for domain randomization.  Derived
-    quantities follow QuadrotorDynamics.update_model
-    (quadrotor_dynamics.py:104-166).
+    Fields are scalars / small arrays; `stack` turns a list of these into
+    per-drone-batched arrays for domain randomization.  Derived quantities
+    follow QuadrotorDynamics.update_model (quadrotor_dynamics.py:104-166).
     """
 
     mass: Any

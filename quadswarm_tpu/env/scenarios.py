@@ -1,0 +1,566 @@
+"""Device-resident goal/task scenarios.
+
+Reference: gym_art/quadrotor_multi/scenarios/* (9 free-space + 5 obstacle
+scenarios + o_test + mix).  The reference's per-episode `eval('Scenario_'+
+mode)` object factory (mix.py:31-34) becomes an integer mode id in the env
+state pytree and a `lax.switch` over pure step/reset branches; scenario
+variables (formation params, goal arrays, Bezier control points, swap
+timers) live in `ScenarioState`.
+
+Known reference quirks reproduced on purpose:
+  * Formation sampling draws an index bounded by the per-mode choice-list
+    length but indexes the GLOBAL formation list (scenarios/utils.py:55-56) —
+    so `o_swap_goals` can select circle_horizontal and never cube.
+  * ep_lissajous3D accumulates the curve offset onto the previous goal
+    (ep_lissajous3D.py:14-23), producing an integrated drift.
+Deviations:
+  * Rejection-sampling loops (Bezier goal placement, free-cell sampling with
+    surroundings checks) use fixed-trip masked retries.
+  * `o_test` is not constructible in the reference (missing QUADS_PARAMS_DICT
+    entry -> KeyError); here it uses the o_static_same_goal range.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from quadswarm_tpu.env.formations import (
+    formation_size_range, generate_goals, get_z_value, is_circle, is_grid,
+)
+
+MODES = (
+    "static_same_goal",     # 0
+    "static_diff_goal",     # 1
+    "dynamic_same_goal",    # 2
+    "dynamic_diff_goal",    # 3
+    "swap_goals",           # 4
+    "dynamic_formations",   # 5
+    "ep_lissajous3D",       # 6
+    "ep_rand_bezier",       # 7
+    "swarm_vs_swarm",       # 8
+    "run_away",             # 9
+    "o_random",             # 10
+    "o_static_same_goal",   # 11
+    "o_dynamic_same_goal",  # 12
+    "o_swap_goals",         # 13
+    "o_ep_rand_bezier",     # 14
+    "o_test",               # 15
+)
+MODE_IDS = {m: i for i, m in enumerate(MODES)}
+
+# Mix-mode candidate lists (scenarios/utils.py:7-22)
+MIX_MODES_MULTI = tuple(MODE_IDS[m] for m in (
+    "static_same_goal", "static_diff_goal", "ep_lissajous3D", "ep_rand_bezier",
+    "dynamic_same_goal", "dynamic_diff_goal", "dynamic_formations", "swap_goals",
+    "swarm_vs_swarm"))
+MIX_MODES_SINGLE = tuple(MODE_IDS[m] for m in (
+    "static_same_goal", "static_diff_goal", "ep_lissajous3D", "ep_rand_bezier",
+    "dynamic_same_goal"))
+MIX_MODES_OBSTACLES = (MODE_IDS["o_random"], MODE_IDS["o_static_same_goal"])
+MIX_MODES_OBSTACLES_SINGLE = (MODE_IDS["o_random"],)
+
+# Per-mode (num formation choices, dist_low, dist_high) from QUADS_PARAMS_DICT
+# (scenarios/utils.py:33-51); quad_arm_size = 0.05.
+_ARM = 0.05
+MODE_TABLE = {
+    "static_same_goal": (1, 0.0, 0.0),
+    "static_diff_goal": (8, 5 * _ARM, 10 * _ARM),
+    "dynamic_same_goal": (1, 0.0, 0.0),
+    "dynamic_diff_goal": (8, 5 * _ARM, 10 * _ARM),
+    "swap_goals": (8, 8 * _ARM, 16 * _ARM),
+    "dynamic_formations": (8, 0.0, 20 * _ARM),
+    "ep_lissajous3D": (1, 0.0, 0.0),
+    "ep_rand_bezier": (1, 0.0, 0.0),
+    "swarm_vs_swarm": (8, 5 * _ARM, 10 * _ARM),
+    "run_away": (8, 5 * _ARM, 10 * _ARM),
+    "o_random": (1, 0.0, 0.0),
+    "o_static_same_goal": (1, 0.0, 0.0),
+    "o_dynamic_same_goal": (1, 0.0, 0.0),
+    "o_swap_goals": (7, 8 * _ARM, 16 * _ARM),
+    "o_ep_rand_bezier": (1, 0.0, 0.0),
+    "o_test": (1, 0.0, 0.0),
+}
+MODE_NUM_CHOICES = np.array([MODE_TABLE[m][0] for m in MODES], np.int32)
+MODE_DIST_LOW = np.array([MODE_TABLE[m][1] for m in MODES], np.float64)
+MODE_DIST_HIGH = np.array([MODE_TABLE[m][2] for m in MODES], np.float64)
+# approach_goal_metric per mode (base=0.5; o_base=1.0; o_random overrides 0.5)
+MODE_APPROACH_METRIC = np.array(
+    [1.0 if (m.startswith("o_") and m != "o_random") else 0.5 for m in MODES],
+    np.float64,
+)
+
+BEZIER_ATTEMPTS = 20  # fixed-trip replacement for the reference's while loop
+
+
+@struct.dataclass
+class ScenarioConfig:
+    """Static scenario parameters."""
+
+    num_agents: int = struct.field(pytree_node=False, default=8)
+    control_freq: float = struct.field(pytree_node=False, default=100.0)
+    ep_time: float = struct.field(pytree_node=False, default=15.0)
+    room_dims: tuple = struct.field(pytree_node=False, default=(10.0, 10.0, 10.0))
+    box: float = struct.field(pytree_node=False, default=2.0)  # spawn box (quadrotor_single.py:215-218)
+    # obstacle grid (only used by o_* modes)
+    obst_area: tuple = struct.field(pytree_node=False, default=(6, 6))
+    grid_size: float = struct.field(pytree_node=False, default=1.0)
+
+
+@struct.dataclass
+class ScenarioState:
+    """Per-env scenario variables, all fixed-shape."""
+
+    mode: jax.Array                 # int32
+    formation: jax.Array            # int32
+    formation_size: jax.Array       # f
+    lowest_size: jax.Array          # f
+    highest_size: jax.Array         # f
+    layer_dist: jax.Array           # f
+    num_agents_per_layer: jax.Array  # int32
+    formation_center: jax.Array     # (3,)
+    goals: jax.Array                # (N, 3)
+    spawn_points: jax.Array         # (N, 3)
+    interval: jax.Array             # int32 ticks between scenario events
+    increase_formation: jax.Array   # bool (dynamic_formations)
+    control_speed: jax.Array        # f    (dynamic_formations)
+    bezier_nodes: jax.Array         # (3 dims, 3 points)
+    goal_center_1: jax.Array        # (3,) (swarm_vs_swarm)
+    goal_center_2: jax.Array        # (3,)
+    end_point: jax.Array            # (3,) (o_* single-goal modes)
+    approach_goal_metric: jax.Array  # f
+
+
+def _npl_for_formation(fid):
+    """circle -> 8/layer, grid -> 50/layer, else 8 (scenarios/utils.py:54-66)."""
+    return jnp.where(is_grid(fid), 50, 8).astype(jnp.int32)
+
+
+def _sample_formation_params(key, cfg: ScenarioConfig, mode, dtype):
+    """update_formation_and_relate_param (scenarios/base.py:131-143)."""
+    k_fid, k_size, k_layer = jax.random.split(key, 3)
+    num_choices = jnp.asarray(MODE_NUM_CHOICES)[mode]
+    fid = jax.random.randint(k_fid, (), 0, num_choices).astype(jnp.int32)
+    npl = _npl_for_formation(fid)
+    low = jnp.asarray(MODE_DIST_LOW, dtype)[mode]
+    high = jnp.asarray(MODE_DIST_HIGH, dtype)[mode]
+    lo, hi = formation_size_range(
+        mode == MODE_IDS["swarm_vs_swarm"], fid, cfg.num_agents, low, high, npl)
+    size = jax.random.uniform(k_size, (), dtype, lo, hi)
+    layer_dist = jax.random.uniform(k_layer, (), dtype, lo, hi)
+    return fid, npl, lo, hi, size, layer_dist
+
+
+def _center_xy_z(key, cfg, box, dtype, z_simple: bool):
+    """Random formation center; z either the simple clamp (dynamic_same_goal)
+    or the formation-aware bound is applied by the caller."""
+    kx, kz = jax.random.split(key)
+    xy = jax.random.uniform(kx, (2,), dtype, -box, box)
+    z = jax.random.uniform(kz, (), dtype, -0.5 * box, 0.5 * box) + 2.0
+    z = jnp.maximum(z, 0.25)
+    return xy, z
+
+
+# ---------------------------------------------------------------------------
+# Bezier helpers (ep_rand_bezier.py / o_ep_rand_bezier.py)
+# ---------------------------------------------------------------------------
+
+def _sample_bezier_nodes(key, goal0, room_dims, formation_size, dtype,
+                         max_dist_cap, z_lo, z_hi, obstacle_mode: bool):
+    """Sample degree-2 Bezier control points with the reference's bounds
+    check, via fixed-trip masked retries (replaces the while loop at
+    ep_rand_bezier.py:22-34)."""
+    room = jnp.asarray(room_dims, dtype) - formation_size
+    if obstacle_mode:
+        low = jnp.stack([-room[0] / 2, -room[1] / 2, jnp.asarray(z_lo, dtype)])
+        high = jnp.stack([room[0] / 2, room[1] / 2, jnp.asarray(z_hi, dtype)])
+    else:
+        low = jnp.stack([-room[0] / 2, -room[1] / 2, jnp.zeros((), dtype)])
+        high = jnp.stack([room[0] / 2, room[1] / 2, room[2]])
+    max_dist = jnp.minimum(jnp.asarray(max_dist_cap, dtype), jnp.max(room))
+    min_dist = max_dist / 2
+
+    def attempt(k):
+        ku, kd = jax.random.split(k)
+        # Reference quirk: uniform (2,3) with per-dim bounds then reshape (3,2)
+        raw = jax.random.uniform(ku, (2, 3), dtype, -high, high).reshape(3, 2)
+        dist = jnp.floor(
+            jax.random.uniform(kd, (), dtype, min_dist, max_dist + 1.0))
+        pts = raw * dist / jnp.linalg.norm(raw, axis=0)
+        pts = goal0[:, None] + pts
+        ok = jnp.all(pts > low[:, None] + 0.5) & jnp.all(pts < high[:, None] - 0.5)
+        return pts, ok
+
+    keys = jax.random.split(key, BEZIER_ATTEMPTS)
+    all_pts, all_ok = jax.vmap(attempt)(keys)
+    first = jnp.argmax(all_ok)
+    found = jnp.any(all_ok)
+    pts = jnp.where(found, all_pts[first],
+                    jnp.clip(goal0[:, None] + 0.0, low[:, None] + 0.5, high[:, None] - 0.5))
+    return jnp.concatenate([goal0[:, None], pts], axis=1)  # (3 dims, 3 points)
+
+
+def _bezier_eval(nodes, t):
+    """Quadratic Bezier B(t) for nodes (3 dims, 3 points)."""
+    p0, p1, p2 = nodes[:, 0], nodes[:, 1], nodes[:, 2]
+    return (1 - t) ** 2 * p0 + 2 * (1 - t) * t * p1 + t**2 * p2
+
+
+# ---------------------------------------------------------------------------
+# Obstacle-map helpers (scenarios/obstacles/o_base.py)
+# ---------------------------------------------------------------------------
+
+def sample_free_cells(key, obst_active, centers, num: int, z_lo, z_hi, dtype):
+    """Sample `num` distinct free grid cells, return (num, 3) points with
+    random z (o_base.py:generate_pos_obst_map_2:70-83).  Ranking random
+    scores with occupied cells pushed to -inf keeps shapes static."""
+    kc, kz = jax.random.split(key)
+    scores = jax.random.uniform(kc, obst_active.shape)
+    scores = jnp.where(obst_active, -jnp.inf, scores)
+    idx = jnp.argsort(-scores)[:num]
+    xy = centers[idx]
+    z = jax.random.uniform(kz, (num,), dtype, z_lo, z_hi)
+    return jnp.concatenate([xy.astype(dtype), z[:, None]], axis=-1)
+
+
+def max_free_square_center(key, obst_map2d, centers, dtype):
+    """Center cell of the largest all-free square (o_base DP,
+    o_base.py:124-153), with the reference's index mapping
+    `index = cx + m * cy` into the cell-centers array.  Grid dims are static
+    so the DP unrolls at trace time."""
+    free = (obst_map2d == 0).astype(jnp.int32)
+    n, m = obst_map2d.shape
+    dp = jnp.zeros((n, m), jnp.int32)
+    dp = dp.at[0, :].set(obst_map2d[0, :].astype(jnp.int32))
+    dp = dp.at[:, 0].set(obst_map2d[:, 0].astype(jnp.int32))
+    # NOTE: faithful to the reference, which seeds dp with the OBSTACLE map's
+    # first row/col (a quirk: dp[i][j] counts squares of 0s but the border is
+    # seeded with the raw map values) and only fills i,j >= 1.
+    best = jnp.zeros((), jnp.int32)
+    cx = jnp.zeros((), jnp.int32)
+    cy = jnp.zeros((), jnp.int32)
+
+    def row_body(i, carry):
+        dp, best, cx, cy = carry
+
+        def col_body(j, carry2):
+            dp, best, cx, cy = carry2
+            val = jnp.where(
+                free[i, j] == 1,
+                jnp.minimum(jnp.minimum(dp[i - 1, j], dp[i, j - 1]), dp[i - 1, j - 1]) + 1,
+                0,
+            )
+            dp = dp.at[i, j].set(val)
+            improved = val > best
+            best = jnp.where(improved, val, best)
+            cx = jnp.where(improved, i - (val - 1) // 2, cx)
+            cy = jnp.where(improved, j - (val - 1) // 2, cy)
+            return dp, best, cx, cy
+
+        return jax.lax.fori_loop(1, m, col_body, (dp, best, cx, cy))
+
+    dp, best, cx, cy = jax.lax.fori_loop(1, n, row_body, (dp, best, cx, cy))
+    index = cx + m * cy
+    xy = centers[index]
+    z = jax.random.uniform(key, (), dtype, 1.5, 3.0)
+    return jnp.concatenate([xy.astype(dtype), z[None]])
+
+
+# ---------------------------------------------------------------------------
+# Reset
+# ---------------------------------------------------------------------------
+
+def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
+                   obst_active: jax.Array | None = None,
+                   obst_centers: jax.Array | None = None,
+                   dtype=jnp.float32) -> ScenarioState:
+    """Per-episode scenario reset for runtime mode id `mode`.
+
+    Free-space modes follow QuadrotorScenario.reset / standard_reset
+    (scenarios/base.py:145-167); obstacle modes sample spawn/goal cells from
+    the free cells of the obstacle map (o_base.py).
+    """
+    n = cfg.num_agents
+    keys = jax.random.split(key, 12)
+    fid, npl, lo, hi, size, layer_dist = _sample_formation_params(
+        keys[0], cfg, mode, dtype)
+
+    default_center = jnp.asarray([0.0, 0.0, 2.0], dtype)
+    box = jnp.asarray(cfg.box, dtype)
+
+    # Base goals around the default center, shuffled (base.py reset)
+    base_goals = generate_goals(n, fid, default_center, size, layer_dist, npl, dtype)
+    base_goals = jax.random.permutation(keys[1], base_goals, axis=0)
+
+    interval_sec = jax.random.uniform(keys[2], (), dtype, 4.0, 6.0)
+    interval = (interval_sec * cfg.control_freq).astype(jnp.int32)
+
+    st = ScenarioState(
+        mode=mode.astype(jnp.int32),
+        formation=fid.astype(jnp.int32),
+        formation_size=size,
+        lowest_size=lo,
+        highest_size=hi,
+        layer_dist=layer_dist,
+        num_agents_per_layer=npl,
+        formation_center=default_center,
+        goals=base_goals,
+        spawn_points=base_goals,
+        interval=interval,
+        increase_formation=jax.random.uniform(keys[3], ()) < 0.5,
+        control_speed=jax.random.uniform(keys[4], (), dtype, 1.0, 3.0),
+        bezier_nodes=jnp.zeros((3, 3), dtype),
+        goal_center_1=default_center,
+        goal_center_2=default_center,
+        end_point=default_center,
+        approach_goal_metric=jnp.asarray(MODE_APPROACH_METRIC, dtype)[mode],
+    )
+
+    def reset_lissajous(st):
+        # formation center [-2, 0, 2] (ep_lissajous3D.py:31-38), no shuffle
+        center = jnp.asarray([-2.0, 0.0, 2.0], dtype)
+        goals = generate_goals(n, fid, center, size, jnp.zeros((), dtype), npl, dtype)
+        return st.replace(formation_center=center, goals=goals, spawn_points=goals)
+
+    def reset_svs(st):
+        # swarm_vs_swarm.py:22-50 formation_centers + create_formations
+        kc, kz, kd, kphi, kth, kg1, kg2 = jax.random.split(keys[5], 7)
+        xy = jax.random.uniform(kc, (2,), dtype, -box, box)
+        z = get_z_value(kz, fid, n, npl, box, size)
+        c1 = jnp.concatenate([xy, z[None]])
+        gc_dist = jax.random.uniform(kd, (), dtype, box / 4, box)
+        phi = jax.random.uniform(kphi, (), dtype, -jnp.pi, jnp.pi)
+        theta = jax.random.uniform(kth, (), dtype, -0.5 * jnp.pi, 0.5 * jnp.pi)
+        c2 = c1 + gc_dist * jnp.stack([
+            jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)])
+        diff = c2 - c1
+        # Keep the separating axis at least lowest_size apart (svs.py:40-49)
+        axis = jnp.where(fid == 0, 2, jnp.where((fid == 1) | (fid == 5), 1, 0))
+        planar = is_circle(fid) | is_grid(fid)
+        d_ax = diff[axis]
+        adj = jnp.sign(d_ax) * lo + c1[axis]
+        c2 = jnp.where(planar & (jnp.abs(d_ax) < lo), c2.at[axis].set(adj), c2)
+        g1 = generate_goals(n // 2, fid, c1, size, layer_dist, npl, dtype)
+        g2 = generate_goals(n - n // 2, fid, c2, size, layer_dist, npl, dtype)
+        goals = jnp.concatenate([g1, g2], axis=0)
+        return st.replace(goals=goals, spawn_points=goals,
+                          goal_center_1=c1, goal_center_2=c2,
+                          formation_center=(c1 + c2) / 2)
+
+    def reset_obstacle(st):
+        # o_base-family resets: spawn in free cells, goals per sub-mode
+        active = obst_active if obst_active is not None else jnp.zeros(
+            cfg.obst_area[0] * cfg.obst_area[1], bool)
+        centers = obst_centers if obst_centers is not None else jnp.zeros(
+            (cfg.obst_area[0] * cfg.obst_area[1], 2), dtype)
+        m = cfg.obst_area[1]
+        obst_map2d = active.reshape(cfg.obst_area[0], cfg.obst_area[1])
+
+        spawn = sample_free_cells(keys[6], active, centers, n, 1.0, 3.0, dtype)
+        # o_random: per-agent end points; same-goal modes: max-square center
+        per_agent_end = sample_free_cells(keys[7], active, centers, n, 1.0, 3.0, dtype)
+        square_end = max_free_square_center(keys[8], obst_map2d, centers, dtype)
+
+        is_random = mode == MODE_IDS["o_random"]
+        is_swap = mode == MODE_IDS["o_swap_goals"]
+        is_bezier = mode == MODE_IDS["o_ep_rand_bezier"]
+        swap_center = max_free_square_center(keys[9], obst_map2d, centers, dtype)
+        swap_goals = generate_goals(n, fid, swap_center, size, layer_dist, npl, dtype)
+        swap_goals = jax.random.permutation(keys[10], swap_goals, axis=0)
+        # o_ep_rand_bezier starts from a single random free cell (o_ep_rand_bezier.py:66)
+        bezier_end = sample_free_cells(keys[11], active, centers, 1, 0.75, 3.0, dtype)[0]
+
+        end = jnp.where(is_bezier, bezier_end, square_end)
+        goals = jnp.where(
+            is_random, per_agent_end,
+            jnp.where(is_swap, swap_goals, jnp.broadcast_to(end, (n, 3))))
+        center = jnp.where(is_swap, swap_center, jnp.asarray([0.0, 0.0, 2.0], dtype))
+        return st.replace(goals=goals, spawn_points=spawn, end_point=end,
+                          formation_center=center)
+
+    def reset_o_test(st):
+        start = jnp.asarray([0.0, 3.0, 2.0], dtype)
+        end = jnp.asarray([0.0, -3.0, 2.0], dtype)
+        goals = generate_goals(n, fid, start, size, layer_dist, npl, dtype)
+        goals = jax.random.permutation(keys[6], goals, axis=0)
+        dur = (jax.random.uniform(keys[7], (), dtype, 2.0, 4.0) * cfg.control_freq)
+        return st.replace(goals=goals, spawn_points=goals, end_point=end,
+                          formation_center=start, interval=dur.astype(jnp.int32))
+
+    is_obstacle_mode = (mode >= MODE_IDS["o_random"]) & (mode < MODE_IDS["o_test"])
+    st = jax.lax.cond(mode == MODE_IDS["ep_lissajous3D"], reset_lissajous,
+                      lambda s: s, st)
+    st = jax.lax.cond(mode == MODE_IDS["swarm_vs_swarm"], reset_svs,
+                      lambda s: s, st)
+    st = jax.lax.cond(is_obstacle_mode, reset_obstacle, lambda s: s, st)
+    st = jax.lax.cond(mode == MODE_IDS["o_test"], reset_o_test, lambda s: s, st)
+    # run_away duration is fixed 1 s (run_away.py:17)
+    st = st.replace(interval=jnp.where(
+        mode == MODE_IDS["run_away"], jnp.int32(cfg.control_freq), st.interval))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------------
+
+def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
+                  key: jax.Array,
+                  obst_active: jax.Array | None = None,
+                  obst_centers: jax.Array | None = None) -> ScenarioState:
+    """Advance scenario state by one control tick (goal motion, swaps, ...).
+
+    Dispatches on st.mode via lax.switch; every branch is fixed-shape.
+    """
+    n = cfg.num_agents
+    dtype = st.goals.dtype
+    box = jnp.asarray(cfg.box, dtype)
+    keys = jax.random.split(key, 8)
+    at_interval = (tick % jnp.maximum(st.interval, 1) == 0) & (tick > 0)
+
+    def no_op(st):
+        return st
+
+    def dynamic_same_goal(st):
+        # dynamic_same_goal.py:17-29: teleport the shared goal
+        xy, z = _center_xy_z(keys[0], cfg, box, dtype, True)
+        center = jnp.concatenate([xy, z[None]])
+        goals = generate_goals(n, st.formation, center, st.formation_size,
+                               jnp.zeros((), dtype), st.num_agents_per_layer, dtype)
+        new = st.replace(formation_center=center, goals=goals)
+        return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
+
+    def dynamic_diff_goal(st):
+        # dynamic_diff_goal.py:23-41: resample formation, teleport, shuffle
+        fid, npl, lo, hi, size, layer_dist = _sample_formation_params(
+            keys[1], cfg, st.mode, dtype)
+        kxy, kz, kshuf = jax.random.split(keys[0], 3)
+        xy = jax.random.uniform(kxy, (2,), dtype, -box, box)
+        z = get_z_value(kz, st.formation, n, st.num_agents_per_layer, box,
+                        st.formation_size)
+        center = jnp.concatenate([xy, z[None]])
+        goals = generate_goals(n, fid, center, size, layer_dist, npl, dtype)
+        goals = jax.random.permutation(kshuf, goals, axis=0)
+        new = st.replace(formation=fid, num_agents_per_layer=npl, lowest_size=lo,
+                         highest_size=hi, formation_size=size, layer_dist=layer_dist,
+                         formation_center=center, goals=goals)
+        return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
+
+    def swap_goals(st):
+        goals = jax.random.permutation(keys[0], st.goals, axis=0)
+        new = st.replace(goals=goals)
+        return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
+
+    def dynamic_formations(st):
+        # dynamic_formations.py:22-38: grow/shrink size every tick
+        at_low = st.formation_size <= -st.highest_size
+        at_high = st.formation_size >= st.highest_size
+        flip = at_low | at_high
+        inc = jnp.where(at_low, True, jnp.where(at_high, False, st.increase_formation))
+        speed = jnp.where(flip, jax.random.uniform(keys[0], (), dtype, 1.0, 3.0),
+                          st.control_speed)
+        size = st.formation_size + jnp.where(inc, 1.0, -1.0) * 0.001 * speed
+        goals = generate_goals(n, st.formation, st.formation_center, size,
+                               st.layer_dist, st.num_agents_per_layer, dtype)
+        return st.replace(formation_size=size, increase_formation=inc,
+                          control_speed=speed, goals=goals)
+
+    def lissajous(st):
+        # ep_lissajous3D.py:9-27 (a=0.03, b=c=0.01, n=m=2, phi=psi=90)
+        t = tick.astype(dtype) / cfg.control_freq
+        off = jnp.stack([
+            0.03 * jnp.sin(t), 0.01 * jnp.sin(2 * t + 90.0), 0.01 * jnp.cos(2 * t + 90.0)])
+        goal0 = st.goals[0] + off
+        return st.replace(goals=jnp.broadcast_to(goal0, (n, 3)))
+
+    def _bezier(st, num_secs, max_cap, z_lo, z_hi, obstacle_mode):
+        control_steps = int(num_secs * cfg.control_freq)
+        t_idx = tick % control_steps
+        resample = (t_idx == 0) | (tick == 1)
+        nodes = _sample_bezier_nodes(keys[0], st.goals[0], cfg.room_dims,
+                                     st.formation_size, dtype, max_cap, z_lo, z_hi,
+                                     obstacle_mode)
+        nodes = jnp.where(resample, nodes, st.bezier_nodes)
+        # linspace(0,1,control_steps)[t] == t/(control_steps-1)
+        t = t_idx.astype(dtype) / (control_steps - 1)
+        goal0 = _bezier_eval(nodes, t)
+        move = (t_idx != 0) & (tick > 1)
+        goals = jnp.where(move, jnp.broadcast_to(goal0, (n, 3)), st.goals)
+        return st.replace(bezier_nodes=nodes, goals=goals)
+
+    def bezier_free(st):
+        return _bezier(st, 5, 30.0, 0.0, 0.0, False)
+
+    def bezier_obst(st):
+        return _bezier(st, 6, 5.0, 1.5, 3.0, True)
+
+    def svs(st):
+        # swarm_vs_swarm.py:61-80: swap centers, resample, regenerate, shuffle halves
+        c1, c2 = st.goal_center_2, st.goal_center_1
+        fid, npl, lo, hi, size, layer_dist = _sample_formation_params(
+            keys[1], cfg, st.mode, dtype)
+        g1 = generate_goals(n // 2, fid, c1, size, layer_dist, npl, dtype)
+        g2 = generate_goals(n - n // 2, fid, c2, size, layer_dist, npl, dtype)
+        g1 = jax.random.permutation(keys[2], g1, axis=0)
+        g2 = jax.random.permutation(keys[3], g2, axis=0)
+        new = st.replace(goal_center_1=c1, goal_center_2=c2, formation=fid,
+                         num_agents_per_layer=npl, lowest_size=lo, highest_size=hi,
+                         formation_size=size, layer_dist=layer_dist,
+                         goals=jnp.concatenate([g1, g2], axis=0))
+        return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
+
+    def run_away(st):
+        # run_away.py:16-27: drones 0 and 1 chase random others' goals
+        g_idx = jax.random.randint(keys[0], (2,), 1, n) if n > 1 else jnp.zeros(2, jnp.int32)
+        goals = st.goals.at[0].set(st.goals[g_idx[0]]).at[1].set(st.goals[g_idx[1]])
+        new = st.replace(goals=goals)
+        return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
+
+    def o_dynamic_same_goal(st):
+        # o_dynamic_same_goal.py:17-28: new free-cell goal within max_dist=4
+        active = obst_active if obst_active is not None else jnp.zeros(1, bool)
+        centers = obst_centers if obst_centers is not None else jnp.zeros((1, 2), dtype)
+        trigger = at_interval | (tick == 1)
+
+        def attempt(k):
+            pt = sample_free_cells(k, active, centers, 1, 0.75, 3.0, dtype)[0]
+            ok = jnp.linalg.norm(st.end_point - pt) <= 4.0
+            return pt, ok
+
+        ks = jax.random.split(keys[0], BEZIER_ATTEMPTS)
+        pts, oks = jax.vmap(attempt)(ks)
+        first = jnp.argmax(oks)
+        new_goal = jnp.where(jnp.any(oks), pts[first], pts[0])
+        new = st.replace(end_point=new_goal,
+                         goals=jnp.broadcast_to(new_goal, (n, 3)))
+        return jax.tree.map(lambda a, b: jnp.where(trigger, a, b), new, st)
+
+    def o_test(st):
+        # test/o_test.py:31-43: after duration, move goals to end_point
+        trigger = tick > st.interval
+        goals = generate_goals(n, st.formation, st.end_point, st.formation_size,
+                               jnp.zeros((), dtype), st.num_agents_per_layer, dtype)
+        new = st.replace(goals=goals, interval=st.interval + jnp.int32(
+            (cfg.ep_time + 1) * cfg.control_freq))
+        return jax.tree.map(lambda a, b: jnp.where(trigger, a, b), new, st)
+
+    branches = [
+        no_op,                 # static_same_goal
+        no_op,                 # static_diff_goal
+        dynamic_same_goal,
+        dynamic_diff_goal,
+        swap_goals,
+        dynamic_formations,
+        lissajous,
+        bezier_free,
+        svs,
+        run_away,
+        no_op,                 # o_random (goals fixed at reset)
+        no_op,                 # o_static_same_goal
+        o_dynamic_same_goal,
+        swap_goals,            # o_swap_goals (same swap logic)
+        bezier_obst,
+        o_test,
+    ]
+    return jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1), branches, st)
