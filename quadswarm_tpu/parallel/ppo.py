@@ -1,0 +1,290 @@
+"""Synchronous PPO learner over device-resident vectorized envs.
+
+Replaces Sample Factory's APPO (rollout worker processes + inference worker +
+GPU learner, SURVEY.md §2.2/§3.1) with the TPU-native equivalent: the env
+batch, policy inference, and the PPO update all live in ONE jitted program
+per iteration — no process or host boundaries in the hot path.  Asynchrony
+was a CPU-worker latency-hiding device; on TPU the rollout is itself a
+`lax.scan` of fused XLA steps, so synchronous PPO with the same
+hyperparameters (runs/quad_multi_mix_baseline.py:8-18) is strictly better
+placed.
+
+Hyperparameter defaults mirror the 8-drone baseline:
+lr=1e-4, gamma=0.99, gae_lambda=1.0, ppo_clip=0.1, clip_value=5.0,
+rollout=128, batch_size=1024, max_grad_norm=5.0, reward_clip=10,
+exploration_loss_coeff=0.0.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training.train_state import TrainState
+
+from quadswarm_tpu.env.multi import EnvConfig, EnvState, env_reset, env_step
+from quadswarm_tpu.env.reward import RewardCoeffs
+from quadswarm_tpu.models.actor_critic import (
+    ActorCritic, gaussian_entropy, gaussian_log_prob, sample_actions,
+)
+from quadswarm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+
+@struct.dataclass
+class PPOConfig:
+    learning_rate: float = struct.field(pytree_node=False, default=1e-4)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    gae_lambda: float = struct.field(pytree_node=False, default=1.0)
+    ppo_clip_ratio: float = struct.field(pytree_node=False, default=0.1)
+    ppo_clip_value: float = struct.field(pytree_node=False, default=5.0)
+    value_loss_coeff: float = struct.field(pytree_node=False, default=0.5)
+    exploration_loss_coeff: float = struct.field(pytree_node=False, default=0.0)
+    max_grad_norm: float = struct.field(pytree_node=False, default=5.0)
+    rollout: int = struct.field(pytree_node=False, default=128)
+    batch_size: int = struct.field(pytree_node=False, default=1024)
+    num_epochs: int = struct.field(pytree_node=False, default=1)
+    reward_clip: float = struct.field(pytree_node=False, default=10.0)
+    num_envs: int = struct.field(pytree_node=False, default=64)
+
+    def __hash__(self):
+        return hash(tuple(getattr(self, f.name) for f in
+                          self.__dataclass_fields__.values()))  # type: ignore
+
+    def __eq__(self, other):
+        return isinstance(other, PPOConfig) and hash(self) == hash(other)
+
+
+class Transition(NamedTuple):
+    obs: jax.Array        # (E, N, obs_dim)
+    actions: jax.Array    # (E, N, A)
+    log_prob: jax.Array   # (E, N)
+    value: jax.Array      # (E, N)
+    reward: jax.Array     # (E, N)
+    done: jax.Array       # (E, N) bool
+
+
+def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
+                    ppo_cfg: PPOConfig, policy_params, env_states: EnvState,
+                    obs: jax.Array, key: jax.Array, rew_coeff: RewardCoeffs):
+    """T-step on-device rollout via lax.scan over the vmapped env step.
+
+    Returns (env_states', obs', Transition stack [T,...], last_value, infos).
+    """
+    e = obs.shape[0]
+    n = env_cfg.num_agents
+
+    # Push (possibly annealed) reward coefficients into every env
+    env_states = env_states.replace(
+        rew_coeff=jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (e,) + jnp.shape(x)), rew_coeff))
+
+    def policy(params, obs_flat):
+        mean, log_std, value = model.apply(params, obs_flat)
+        return mean, log_std, value
+
+    def step_fn(carry, step_key):
+        env_states, obs = carry
+        k_act, k_env = jax.random.split(step_key)
+        flat_obs = obs.reshape(e * n, -1)
+        mean, log_std, value = policy(policy_params, flat_obs)
+        actions = sample_actions(k_act, mean, log_std)
+        log_prob = gaussian_log_prob(mean, log_std, actions)
+        actions_e = actions.reshape(e, n, -1)
+        env_keys = jax.random.split(k_env, e)
+        env_states, next_obs, rew, dones, info = jax.vmap(
+            lambda s, a, k: env_step(env_cfg, dyn_params, s, a, k)
+        )(env_states, actions_e, env_keys)
+        t = Transition(obs=obs, actions=actions_e,
+                       log_prob=log_prob.reshape(e, n),
+                       value=value.reshape(e, n),
+                       reward=jnp.clip(rew, -ppo_cfg.reward_clip, ppo_cfg.reward_clip),
+                       done=dones)
+        return (env_states, next_obs), (t, info)
+
+    keys = jax.random.split(key, ppo_cfg.rollout)
+    (env_states, obs), (traj, infos) = jax.lax.scan(
+        step_fn, (env_states, obs), keys)
+    _, _, last_value = policy(policy_params, obs.reshape(e * n, -1))
+    return env_states, obs, traj, last_value.reshape(e, n), infos
+
+
+def compute_gae(traj: Transition, last_value, gamma, lam):
+    """Generalized advantage estimation over the [T, E, N] trajectory."""
+
+    def scan_fn(carry, t):
+        gae, next_value = carry
+        not_done = 1.0 - t.done.astype(t.value.dtype)
+        delta = t.reward + gamma * next_value * not_done - t.value
+        gae = delta + gamma * lam * not_done * gae
+        return (gae, t.value), gae
+
+    (_, _), advantages = jax.lax.scan(
+        scan_fn, (jnp.zeros_like(last_value), last_value), traj, reverse=True)
+    returns = advantages + traj.value
+    return advantages, returns
+
+
+def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
+    obs, actions, old_log_prob, old_value, advantages, returns = batch
+    mean, log_std, value = model.apply(params, obs)
+    log_prob = gaussian_log_prob(mean, log_std, actions)
+    ratio = jnp.exp(log_prob - old_log_prob)
+    adv = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-8)
+    clip = ppo_cfg.ppo_clip_ratio
+    pg_loss = -jnp.mean(jnp.minimum(
+        ratio * adv, jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * adv))
+    v_clipped = old_value + jnp.clip(value - old_value, -ppo_cfg.ppo_clip_value,
+                                     ppo_cfg.ppo_clip_value)
+    v_loss = 0.5 * jnp.mean(jnp.maximum(
+        (value - returns) ** 2, (v_clipped - returns) ** 2))
+    entropy = jnp.mean(gaussian_entropy(log_std))
+    loss = (pg_loss + ppo_cfg.value_loss_coeff * v_loss
+            - ppo_cfg.exploration_loss_coeff * entropy)
+    metrics = {"loss": loss, "pg_loss": pg_loss, "v_loss": v_loss,
+               "entropy": entropy,
+               "approx_kl": jnp.mean(old_log_prob - log_prob)}
+    return loss, metrics
+
+
+def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
+                    ppo_cfg: PPOConfig, train_state: TrainState,
+                    env_states: EnvState, obs, key, rew_coeff: RewardCoeffs):
+    """One APPO-equivalent iteration: rollout T steps, then minibatch SGD.
+
+    Fully jittable; under a sharded env batch XLA turns the gradient mean
+    into a psum over the mesh.
+    """
+    k_roll, k_perm = jax.random.split(key)
+    env_states, obs, traj, last_value, infos = collect_rollout(
+        env_cfg, dyn_params, model, ppo_cfg, train_state.params, env_states,
+        obs, k_roll, rew_coeff)
+    advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
+                                      ppo_cfg.gae_lambda)
+
+    t_dim, e_dim, n_dim = traj.reward.shape
+    total = t_dim * e_dim * n_dim
+    flat = (
+        traj.obs.reshape(total, -1),
+        traj.actions.reshape(total, -1),
+        traj.log_prob.reshape(total),
+        traj.value.reshape(total),
+        advantages.reshape(total),
+        returns.reshape(total),
+    )
+    num_minibatches = max(total // ppo_cfg.batch_size, 1)
+
+    def epoch(train_state, ek):
+        perm = jax.random.permutation(ek, total)
+        shuffled = jax.tree.map(lambda x: x[perm], flat)
+        batched = jax.tree.map(
+            lambda x: x[: num_minibatches * ppo_cfg.batch_size].reshape(
+                (num_minibatches, ppo_cfg.batch_size) + x.shape[1:]),
+            shuffled)
+
+        def minibatch(train_state, batch):
+            grad_fn = jax.value_and_grad(
+                lambda p: ppo_loss(model, ppo_cfg, p, batch), has_aux=True)
+            (loss, metrics), grads = grad_fn(train_state.params)
+            return train_state.apply_gradients(grads=grads), metrics
+
+        return jax.lax.scan(minibatch, train_state, batched)
+
+    epoch_keys = jax.random.split(k_perm, ppo_cfg.num_epochs)
+    metrics_all = None
+    for i in range(ppo_cfg.num_epochs):
+        train_state, metrics_all = epoch(train_state, epoch_keys[i])
+    metrics = jax.tree.map(lambda x: x[-1], metrics_all)
+    metrics["reward_mean"] = jnp.mean(traj.reward)
+    return train_state, env_states, obs, metrics, infos
+
+
+def make_train_state(model: ActorCritic, ppo_cfg: PPOConfig, key,
+                     obs_dim: int) -> TrainState:
+    params = model.init(key, jnp.zeros((1, obs_dim)))
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+        optax.adam(ppo_cfg.learning_rate),
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+class Trainer:
+    """Host-side orchestration: mesh placement, jit, annealing, metrics.
+
+    Equivalent of Sample Factory's Runner+Learner for this env family.
+    """
+
+    def __init__(self, env_cfg: EnvConfig, ppo_cfg: PPOConfig,
+                 model: ActorCritic, dyn_params: Any, seed: int = 0,
+                 anneal_schedules: dict | None = None, mesh=None):
+        self.env_cfg = env_cfg
+        self.ppo_cfg = ppo_cfg
+        self.model = model
+        self.dyn_params = dyn_params
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.anneal_schedules = anneal_schedules or {}
+        self.env_steps = 0
+
+        key = jax.random.PRNGKey(seed)
+        self.key, k_model, k_env = jax.random.split(key, 3)
+        self.train_state = make_train_state(model, ppo_cfg, k_model, env_cfg.obs_dim)
+
+        env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
+        reset_fn = jax.jit(
+            jax.vmap(lambda k: env_reset(env_cfg, dyn_params, k)),
+            out_shardings=batch_sharding(self.mesh))
+        self.env_states, self.obs = reset_fn(env_keys)
+        self.train_state = jax.device_put(self.train_state,
+                                          replicated_sharding(self.mesh))
+
+        bsh = batch_sharding(self.mesh)
+        rsh = replicated_sharding(self.mesh)
+        self._iter_fn = jax.jit(
+            functools.partial(train_iteration, env_cfg, dyn_params, model, ppo_cfg),
+            in_shardings=(rsh, bsh, bsh, rsh, rsh),
+            donate_argnums=(0, 1, 2),
+        )
+        self.base_rew_coeff = dict(
+            quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
+
+    def current_rew_coeff(self) -> RewardCoeffs:
+        """Reward-shaping + linear annealing (reward_shaping.py:110-118):
+        annealed coefficients ramp linearly from 0 to their final value over
+        anneal_env_steps."""
+        coeffs = dict(self.base_rew_coeff)
+        for name, (final, steps) in self.anneal_schedules.items():
+            coeffs[name] = min(final * self.env_steps / max(steps, 1), final)
+        return RewardCoeffs(**coeffs)
+
+    def iteration(self):
+        self.key, k = jax.random.split(self.key)
+        rew_coeff = jax.tree.map(
+            lambda x: jnp.asarray(x, self.env_cfg.dtype), self.current_rew_coeff())
+        (self.train_state, self.env_states, self.obs, metrics, infos) = self._iter_fn(
+            self.train_state, self.env_states, self.obs, k, rew_coeff)
+        self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
+                           * self.env_cfg.num_agents)
+        return metrics, infos
+
+    def train(self, total_env_steps: int, log_every: int = 10, logger=None):
+        import time
+        it = 0
+        t0 = time.time()
+        while self.env_steps < total_env_steps:
+            metrics, infos = self.iteration()
+            it += 1
+            if it % log_every == 0:
+                m = jax.tree.map(float, jax.device_get(metrics))
+                sps = self.env_steps / (time.time() - t0)
+                m["sps"] = sps
+                m["env_steps"] = self.env_steps
+                if logger is not None:
+                    logger(self.env_steps, m, infos)
+                else:
+                    print(f"steps={self.env_steps} sps={sps:,.0f} "
+                          f"loss={m['loss']:.4f} rew={m['reward_mean']:.4f}")
+        return self.train_state

@@ -1,0 +1,104 @@
+"""End-to-end training smoke tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadswarm_tpu.env.multi import EnvConfig
+from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
+from quadswarm_tpu.models.actor_critic import ActorCritic
+from quadswarm_tpu.parallel.mesh import make_mesh
+from quadswarm_tpu.parallel.ppo import PPOConfig, Trainer
+
+
+def _small_setup(num_envs=8, num_agents=2, **env_kwargs):
+    env_cfg = EnvConfig(num_agents=num_agents, ep_time=2.0,
+                        neighbor_obs_type="pos_vel", neighbor_visible_num=1,
+                        quads_mode="static_same_goal", dtype=jnp.float32,
+                        **env_kwargs)
+    ppo_cfg = PPOConfig(rollout=8, batch_size=32, num_envs=num_envs)
+    dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(np.float32)
+    model = ActorCritic(
+        self_obs_dim=18, neighbor_obs_dim=6,
+        num_neighbors=env_cfg.num_use_neighbor_obs,
+        encoder_type="corl", neighbor_encoder_type="attention", rnn_size=32,
+        neighbor_hidden=32)
+    return env_cfg, ppo_cfg, model, dyn
+
+
+def test_trainer_iterations_multi_device():
+    assert len(jax.devices()) == 8, jax.devices()
+    env_cfg, ppo_cfg, model, dyn = _small_setup()
+    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=0)
+    m1, _ = trainer.iteration()
+    m2, _ = trainer.iteration()
+    assert np.isfinite(float(m1["loss"]))
+    assert np.isfinite(float(m2["loss"]))
+    assert trainer.env_steps == 2 * 8 * 8 * 2
+
+
+def test_learning_reduces_value_loss():
+    """A few iterations of PPO on the hover task must not diverge and the
+    policy params must actually change."""
+    env_cfg, ppo_cfg, model, dyn = _small_setup(num_envs=8)
+    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=1)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(),
+                      jax.device_get(trainer.train_state.params))
+    losses = []
+    for _ in range(5):
+        m, _ = trainer.iteration()
+        losses.append(float(m["loss"]))
+    p1 = jax.device_get(trainer.train_state.params)
+    assert all(np.isfinite(losses))
+    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p0, p1)
+    assert max(jax.tree.leaves(diffs)) > 0.0
+
+
+def test_encoder_variants_forward():
+    from quadswarm_tpu.models.encoders import make_encoder
+    obs_dim = 18 + 6 * 6 + 9
+    obs = jnp.ones((4, obs_dim))
+    key = jax.random.PRNGKey(0)
+    for etype, netype in [("corl", "attention"), ("corl", "mean_embed"),
+                          ("corl", "mlp"), ("corl", "no_encoder"),
+                          ("attention", "attention")]:
+        enc = make_encoder(etype, self_obs_dim=18, neighbor_obs_dim=6,
+                           num_neighbors=6, neighbor_encoder_type=netype,
+                           use_obstacles=True, rnn_size=64,
+                           neighbor_hidden=64, obstacle_hidden=64)
+        params = enc.init(key, obs)
+        out = enc.apply(params, obs)
+        assert out.shape == (4, 128)
+        assert jnp.all(jnp.isfinite(out))
+    # sim2real single-head variant has rnn_size output
+    enc = make_encoder("attention", self_obs_dim=18, neighbor_obs_dim=6,
+                       num_neighbors=6, rnn_size=64, sim2real=True)
+    params = enc.init(key, obs)
+    assert enc.apply(params, obs).shape == (4, 64)
+
+
+def test_gae_matches_naive():
+    from quadswarm_tpu.parallel.ppo import Transition, compute_gae
+    rng = np.random.default_rng(0)
+    t_steps, e, n = 6, 2, 1
+    rewards = rng.normal(size=(t_steps, e, n)).astype(np.float32)
+    values = rng.normal(size=(t_steps, e, n)).astype(np.float32)
+    dones = rng.random((t_steps, e, n)) < 0.2
+    last_value = rng.normal(size=(e, n)).astype(np.float32)
+    traj = Transition(
+        obs=jnp.zeros((t_steps, e, n, 3)), actions=jnp.zeros((t_steps, e, n, 4)),
+        log_prob=jnp.zeros((t_steps, e, n)), value=jnp.asarray(values),
+        reward=jnp.asarray(rewards), done=jnp.asarray(dones))
+    gamma, lam = 0.99, 0.95
+    adv, ret = compute_gae(traj, jnp.asarray(last_value), gamma, lam)
+    # naive backward pass
+    expected = np.zeros_like(rewards)
+    gae = np.zeros((e, n), np.float32)
+    next_v = last_value
+    for t in reversed(range(t_steps)):
+        nd = 1.0 - dones[t].astype(np.float32)
+        delta = rewards[t] + gamma * next_v * nd - values[t]
+        gae = delta + gamma * lam * nd * gae
+        expected[t] = gae
+        next_v = values[t]
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), expected + values, rtol=1e-5)
