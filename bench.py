@@ -1,0 +1,91 @@
+"""Headline benchmark: aggregate simulator env-steps/s for 8-drone swarms.
+
+Matches the reference's simulation-only SPS benchmark
+(/root/reference/paper/fps_compare.py:7-8 — 62,042 SPS for 8 quads on the
+QuadSwarm paper CPU setup; samples = agents x control steps).  Here the envs
+run fully on-device: E vmapped swarm envs, random actions, `lax.scan` over a
+step block to amortize dispatch.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SPS_8_QUADS = 62_042.0  # reference paper/fps_compare.py:7-8
+
+
+def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
+          warmup_blocks: int = 2, blocks: int = 5) -> dict:
+    from quadswarm_tpu.env.multi import EnvConfig, env_reset, env_step
+    from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
+
+    env_cfg = EnvConfig(
+        num_agents=num_agents, neighbor_obs_type="pos_vel",
+        neighbor_visible_num=min(6, num_agents - 1) if num_agents > 1 else 0,
+        quads_mode="mix" if num_agents > 1 else "static_same_goal",
+        dtype=jnp.float32)
+    dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(np.float32)
+
+    key = jax.random.PRNGKey(0)
+    key, rk = jax.random.split(key)
+    reset_keys = jax.random.split(rk, num_envs)
+    states, obs = jax.jit(jax.vmap(lambda k: env_reset(env_cfg, dyn, k)))(reset_keys)
+
+    @jax.jit
+    def run_block(states, key):
+        def body(carry, k):
+            states = carry
+            ka, ke = jax.random.split(k)
+            actions = jax.random.uniform(
+                ka, (num_envs, num_agents, 4), jnp.float32, -1.0, 1.0)
+            env_keys = jax.random.split(ke, num_envs)
+            states, _, rew, _, _ = jax.vmap(
+                lambda s, a, kk: env_step(env_cfg, dyn, s, a, kk)
+            )(states, actions, env_keys)
+            return states, jnp.sum(rew)
+
+        keys = jax.random.split(key, block)
+        states, rews = jax.lax.scan(body, states, keys)
+        return states, jnp.sum(rews)
+
+    # Warmup (compile + first blocks)
+    for i in range(warmup_blocks):
+        key, bk = jax.random.split(key)
+        states, r = run_block(states, bk)
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for i in range(blocks):
+        key, bk = jax.random.split(key)
+        states, r = run_block(states, bk)
+    jax.block_until_ready(r)
+    elapsed = time.perf_counter() - t0
+
+    agent_steps = num_envs * num_agents * block * blocks
+    sps = agent_steps / elapsed
+    return {
+        "metric": f"sim env-steps/s ({num_agents}-drone swarm, {num_envs} envs)",
+        "value": round(sps),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(sps / BASELINE_SPS_8_QUADS, 2),
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_envs", type=int, default=4096)
+    p.add_argument("--num_agents", type=int, default=8)
+    p.add_argument("--block", type=int, default=100)
+    p.add_argument("--blocks", type=int, default=5)
+    args = p.parse_args()
+    result = bench(num_envs=args.num_envs, num_agents=args.num_agents,
+                   block=args.block, blocks=args.blocks)
+    print(json.dumps(result))
