@@ -1,0 +1,185 @@
+"""Collision experience replay: device-resident state checkpointing.
+
+Reference: gym_art/quadrotor_multi/quad_experience_replay.py — the reference
+deep-copies the entire Python env every 0.5 s, keeps the last 3 s of
+checkpoints, and on a collision pushes the checkpoint from 1.5 s earlier into
+a 20-slot buffer; episode resets then replay a buffered pre-collision state
+with probability `sample_prob` once the drones "can fly" (avg crashes < 1
+over the last 100 episodes, quadrotor_multi.py:281-287).
+
+Here a checkpoint is just a copy of the EnvState pytree, so the whole
+mechanism becomes masked ring-buffer writes — fully jittable and vmappable
+over the env batch.  Semantics deltas (documented):
+  * the reference evicts buffer entries replayed >= 10 times on each sample
+    (cleanup); we overwrite by ring order and skip entries replayed >= 10
+    times at sample time, which bounds replays identically;
+  * the "can fly" gate uses a per-env running window of the last 100 episode
+    crash totals, like the reference's global deque.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadswarm_tpu.env.multi import (
+    EnvConfig, EnvState, _compute_obs, env_reset, env_step,
+)
+
+CP_STEP_SEC = 0.5            # checkpoint cadence (ReplayBuffer cp_step_size)
+EP_CP_SLOTS = 6              # 3 s of checkpoints (max_episode_checkpoints_to_keep)
+BUFFER_SLOTS = 20            # ReplayBuffer buffer_size
+SAVE_BEFORE_COLLISION_SEC = 1.5
+MAX_REPLAYS = 10
+CRASH_WINDOW = 100
+
+
+@struct.dataclass
+class ReplayState:
+    """Per-env replay machinery (stack an extra leading axis via vmap)."""
+
+    ep_checkpoints: EnvState       # ring [EP_CP_SLOTS, ...]
+    ep_cp_count: jax.Array         # int32, checkpoints written this episode
+    buffer: EnvState               # ring [BUFFER_SLOTS, ...]
+    buffer_count: jax.Array        # int32 valid entries
+    buffer_idx: jax.Array          # int32 next write slot
+    num_replayed: jax.Array        # (BUFFER_SLOTS,) int32
+    last_tick_added: jax.Array     # int32
+    saved_in_replay_buffer: jax.Array  # bool — currently replaying an episode
+    activated: jax.Array           # bool — drones can fly
+    crash_history: jax.Array       # (CRASH_WINDOW,) f32 ring of episode crashes
+    episode_count: jax.Array       # int32
+    replayed_events: jax.Array     # int32
+
+
+def init_replay_state(template: EnvState) -> ReplayState:
+    stack = lambda k: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (k,) + x.shape), template)
+    return ReplayState(
+        ep_checkpoints=stack(EP_CP_SLOTS),
+        ep_cp_count=jnp.zeros((), jnp.int32),
+        buffer=stack(BUFFER_SLOTS),
+        buffer_count=jnp.zeros((), jnp.int32),
+        buffer_idx=jnp.zeros((), jnp.int32),
+        num_replayed=jnp.zeros((BUFFER_SLOTS,), jnp.int32),
+        last_tick_added=jnp.full((), -1_000_000_000, jnp.int32),
+        saved_in_replay_buffer=jnp.zeros((), bool),
+        activated=jnp.zeros((), bool),
+        crash_history=jnp.zeros((CRASH_WINDOW,), jnp.float32),
+        episode_count=jnp.zeros((), jnp.int32),
+        replayed_events=jnp.zeros((), jnp.int32),
+    )
+
+
+def _write_slot(ring, idx, item):
+    return jax.tree.map(
+        lambda r, x: jax.lax.dynamic_update_index_in_dim(r, x, idx, 0), ring, item)
+
+
+def _read_slot(ring, idx):
+    return jax.tree.map(lambda r: jax.lax.dynamic_index_in_dim(r, idx, 0, False), ring)
+
+
+def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
+                state: EnvState, rstate: ReplayState, actions: jax.Array,
+                key: jax.Array):
+    """env_step + the experience-replay wrapper logic for one env."""
+    k_env, k_sample, k_choice, k_obs = jax.random.split(key, 4)
+    pre_tick = state.tick
+    new_state, obs, rew, dones, info = env_step(cfg, params, state, actions, k_env)
+    done = dones[0]
+    cp_freq = jnp.int32(CP_STEP_SEC * cfg.control_freq)
+    grace = jnp.int32(1.5 * cfg.control_freq)
+
+    # --- mid-episode: save checkpoints, record collision events -------------
+    tick = pre_tick + 1
+    save_cp = (~done) & rstate.activated & (~rstate.saved_in_replay_buffer) & (
+        tick % cp_freq == 0)
+    cp_slot = rstate.ep_cp_count % EP_CP_SLOTS
+    ep_cps = jax.tree.map(
+        lambda r, x: jnp.where(save_cp, jax.lax.dynamic_update_index_in_dim(
+            r, x, cp_slot, 0), r), rstate.ep_checkpoints, new_state)
+    ep_cp_count = jnp.where(save_cp, rstate.ep_cp_count + 1, rstate.ep_cp_count)
+
+    # Collision this tick? (new drone pair or new obstacle hit)
+    collided = jnp.any(new_state.prev_coll_ids & ~state.prev_coll_ids)
+    if cfg.use_obstacles:
+        collided = collided | jnp.any(new_state.prev_obst_hits & ~state.prev_obst_hits)
+    steps_ago = jnp.int32(SAVE_BEFORE_COLLISION_SEC / CP_STEP_SEC)
+    can_write = (
+        (~done) & collided & rstate.activated & (~rstate.saved_in_replay_buffer)
+        & (tick > grace)
+        & (tick - rstate.last_tick_added > jnp.int32(5 * cfg.control_freq))
+        & (ep_cp_count >= steps_ago))
+    # checkpoint from 1.5 s ago = steps_ago slots back in the ring
+    read_slot = (ep_cp_count - steps_ago) % EP_CP_SLOTS
+    cp = _read_slot(ep_cps, read_slot)
+    buffer = jax.tree.map(
+        lambda r, x: jnp.where(can_write, jax.lax.dynamic_update_index_in_dim(
+            r, x, rstate.buffer_idx, 0), r), rstate.buffer, cp)
+    num_replayed = jnp.where(
+        can_write, rstate.num_replayed.at[rstate.buffer_idx].set(0),
+        rstate.num_replayed)
+    buffer_idx = jnp.where(can_write, (rstate.buffer_idx + 1) % BUFFER_SLOTS,
+                           rstate.buffer_idx)
+    buffer_count = jnp.where(
+        can_write, jnp.minimum(rstate.buffer_count + 1, BUFFER_SLOTS),
+        rstate.buffer_count)
+    last_tick_added = jnp.where(can_write, tick, rstate.last_tick_added)
+
+    # --- episode end: can-fly gate + replay-vs-fresh reset -------------------
+    crashes = state.crashes_last_episode  # accumulated over the ending episode
+    hist = jnp.where(
+        done, rstate.crash_history.at[rstate.episode_count % CRASH_WINDOW].set(
+            crashes.astype(rstate.crash_history.dtype)),
+        rstate.crash_history)
+    episode_count = jnp.where(done, rstate.episode_count + 1, rstate.episode_count)
+    enough = episode_count >= 10
+    window = jnp.minimum(episode_count, CRASH_WINDOW).astype(hist.dtype)
+    mean_crashes = jnp.abs(jnp.sum(hist) / jnp.maximum(window, 1.0))
+    activated = rstate.activated | (done & enough & (mean_crashes < 1.0))
+
+    # Sample a replay event?
+    choice_idx = jax.random.randint(k_choice, (), 0, jnp.maximum(buffer_count, 1))
+    replayable = rstate.num_replayed[choice_idx] < MAX_REPLAYS
+    do_replay = (done & activated & (buffer_count > 0) & replayable
+                 & (jax.random.uniform(k_sample, ()) < sample_prob))
+    replay_env = _read_slot(buffer, choice_idx)
+    # Zero the episode collision counters like the reference (:168-171)
+    replay_env = replay_env.replace(
+        collisions_per_episode=jnp.zeros((), jnp.int32),
+        collisions_after_settle=jnp.zeros((), jnp.int32),
+        obst_collisions_per_episode=jnp.zeros((), jnp.int32),
+        obst_collisions_after_settle=jnp.zeros((), jnp.int32),
+        rew_coeff=new_state.rew_coeff,
+    )
+    out_state = jax.tree.map(
+        lambda a, b: jnp.where(do_replay, a, b), replay_env, new_state)
+    num_replayed = jnp.where(
+        do_replay, num_replayed.at[choice_idx].add(1), num_replayed)
+    replayed_events = jnp.where(do_replay, rstate.replayed_events + 1,
+                                rstate.replayed_events)
+    saved = jnp.where(done, do_replay, rstate.saved_in_replay_buffer)
+    # Observation of the replayed state (the reference returns the obs saved
+    # with the event; we re-derive it from the checkpointed state)
+    replay_obs, _ = _compute_obs(
+        cfg, out_state.dyn, out_state.scenario.goals, out_state.gyro_bias,
+        k_obs, out_state.obst_active, out_state.obst_pos, out_state.obst_size)
+    obs = jnp.where(do_replay, replay_obs, obs)
+    ep_cp_count = jnp.where(done, 0, ep_cp_count)
+    last_tick_added = jnp.where(done, jnp.int32(-1_000_000_000), last_tick_added)
+
+    new_rstate = rstate.replace(
+        ep_checkpoints=ep_cps, ep_cp_count=ep_cp_count,
+        buffer=buffer, buffer_count=buffer_count, buffer_idx=buffer_idx,
+        num_replayed=num_replayed, last_tick_added=last_tick_added,
+        saved_in_replay_buffer=saved, activated=activated,
+        crash_history=hist, episode_count=episode_count,
+        replayed_events=replayed_events)
+    info["replay/replay_rate"] = (replayed_events.astype(jnp.float32)
+                                  / jnp.maximum(episode_count, 1))
+    info["replay/replay_buffer_size"] = buffer_count
+    info["replay/activated"] = activated
+    return out_state, new_rstate, obs, rew, dones, info
