@@ -192,6 +192,8 @@ class EnvState:
     dist_sum_3s: jax.Array
     dist_sum_5s: jax.Array
     crashes_last_episode: jax.Array  # f — rew_crash accumulation (replay gate)
+    cum_rewraw_main: jax.Array       # (N,) episode sum of rewraw_pos
+    cum_rewraw_quadcol: jax.Array    # (N,) episode sum of rewraw_quadcol
 
 
 def _sample_spawn(cfg: EnvConfig, key: jax.Array, spawn_points: jax.Array):
@@ -324,6 +326,8 @@ def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
         dist_sum_3s=jnp.zeros((n,), dtype),
         dist_sum_5s=jnp.zeros((n,), dtype),
         crashes_last_episode=jnp.zeros((), dtype),
+        cum_rewraw_main=jnp.zeros((n,), dtype),
+        cum_rewraw_quadcol=jnp.zeros((n,), dtype),
     )
     obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias, keys[4],
                                   obst_active, obst_pos, size)
@@ -475,6 +479,10 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
                                   state.obst_size)
 
     crashes_last_episode = state.crashes_last_episode + rew_info.rew_crash[0]
+    # Cumulative raw rewards for true_reward (reward_shaping.py:79-86):
+    # true_reward = sum(rewraw_main) + 1000 * sum(rewraw_quadcol)
+    cum_rewraw_main = state.cum_rewraw_main + rew_info.rewraw_pos
+    cum_rewraw_quadcol = state.cum_rewraw_quadcol - unique_ids.astype(dtype)
 
     new_state = state.replace(
         dyn=dyn, scenario=scen, tick=tick,
@@ -498,6 +506,8 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
         reached_goal=reached,
         dist_sum_1s=dist_sum_1s, dist_sum_3s=dist_sum_3s, dist_sum_5s=dist_sum_5s,
         crashes_last_episode=crashes_last_episode,
+        cum_rewraw_main=cum_rewraw_main,
+        cum_rewraw_quadcol=cum_rewraw_quadcol,
     )
 
     # ---- 7. Episode metrics + masked auto-reset ------------------------------
@@ -557,5 +567,7 @@ def _episode_stats(cfg: EnvConfig, s: EnvState, done) -> dict:
         "metric/agent_col_rate": 1.0 - jnp.sum(agent_col_flag).astype(dtype) / n,
         "metric/agent_neighbor_col_rate": 1.0 - jnp.sum(s.agent_col_agent) / n,
         "metric/agent_obst_col_rate": 1.0 - jnp.sum(s.agent_col_obst) / n,
+        # true_reward for PBT ranking (reward_shaping.py:79-86)
+        "true_reward": s.cum_rewraw_main + 1000.0 * s.cum_rewraw_quadcol,
     }
     return info

@@ -49,6 +49,7 @@ class PPOConfig:
     num_epochs: int = struct.field(pytree_node=False, default=1)
     reward_clip: float = struct.field(pytree_node=False, default=10.0)
     num_envs: int = struct.field(pytree_node=False, default=64)
+    replay_sample_prob: float = struct.field(pytree_node=False, default=0.0)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in
@@ -69,13 +70,17 @@ class Transition(NamedTuple):
 
 def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
                     ppo_cfg: PPOConfig, policy_params, env_states: EnvState,
-                    obs: jax.Array, key: jax.Array, rew_coeff: RewardCoeffs):
+                    obs: jax.Array, key: jax.Array, rew_coeff: RewardCoeffs,
+                    replay_states=None):
     """T-step on-device rollout via lax.scan over the vmapped env step.
 
-    Returns (env_states', obs', Transition stack [T,...], last_value, infos).
+    Returns (env_states', obs', replay_states', Transition stack [T,...],
+    last_value, infos).  When ppo_cfg.replay_sample_prob > 0 the step runs
+    through the collision-replay wrapper (env/replay.py).
     """
     e = obs.shape[0]
     n = env_cfg.num_agents
+    use_replay = ppo_cfg.replay_sample_prob > 0.0 and replay_states is not None
 
     # Push (possibly annealed) reward coefficients into every env
     env_states = env_states.replace(
@@ -87,7 +92,7 @@ def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         return mean, log_std, value
 
     def step_fn(carry, step_key):
-        env_states, obs = carry
+        env_states, replay_states, obs = carry
         k_act, k_env = jax.random.split(step_key)
         flat_obs = obs.reshape(e * n, -1)
         mean, log_std, value = policy(policy_params, flat_obs)
@@ -95,21 +100,28 @@ def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         log_prob = gaussian_log_prob(mean, log_std, actions)
         actions_e = actions.reshape(e, n, -1)
         env_keys = jax.random.split(k_env, e)
-        env_states, next_obs, rew, dones, info = jax.vmap(
-            lambda s, a, k: env_step(env_cfg, dyn_params, s, a, k)
-        )(env_states, actions_e, env_keys)
+        if use_replay:
+            from quadswarm_tpu.env.replay import replay_step
+            env_states, replay_states, next_obs, rew, dones, info = jax.vmap(
+                lambda s, r, a, k: replay_step(
+                    env_cfg, dyn_params, ppo_cfg.replay_sample_prob, s, r, a, k)
+            )(env_states, replay_states, actions_e, env_keys)
+        else:
+            env_states, next_obs, rew, dones, info = jax.vmap(
+                lambda s, a, k: env_step(env_cfg, dyn_params, s, a, k)
+            )(env_states, actions_e, env_keys)
         t = Transition(obs=obs, actions=actions_e,
                        log_prob=log_prob.reshape(e, n),
                        value=value.reshape(e, n),
                        reward=jnp.clip(rew, -ppo_cfg.reward_clip, ppo_cfg.reward_clip),
                        done=dones)
-        return (env_states, next_obs), (t, info)
+        return (env_states, replay_states, next_obs), (t, info)
 
     keys = jax.random.split(key, ppo_cfg.rollout)
-    (env_states, obs), (traj, infos) = jax.lax.scan(
-        step_fn, (env_states, obs), keys)
+    (env_states, replay_states, obs), (traj, infos) = jax.lax.scan(
+        step_fn, (env_states, replay_states, obs), keys)
     _, _, last_value = policy(policy_params, obs.reshape(e * n, -1))
-    return env_states, obs, traj, last_value.reshape(e, n), infos
+    return env_states, obs, replay_states, traj, last_value.reshape(e, n), infos
 
 
 def compute_gae(traj: Transition, last_value, gamma, lam):
@@ -152,16 +164,17 @@ def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
 
 def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
                     ppo_cfg: PPOConfig, train_state: TrainState,
-                    env_states: EnvState, obs, key, rew_coeff: RewardCoeffs):
+                    env_states: EnvState, obs, key, rew_coeff: RewardCoeffs,
+                    replay_states=None):
     """One APPO-equivalent iteration: rollout T steps, then minibatch SGD.
 
     Fully jittable; under a sharded env batch XLA turns the gradient mean
     into a psum over the mesh.
     """
     k_roll, k_perm = jax.random.split(key)
-    env_states, obs, traj, last_value, infos = collect_rollout(
+    env_states, obs, replay_states, traj, last_value, infos = collect_rollout(
         env_cfg, dyn_params, model, ppo_cfg, train_state.params, env_states,
-        obs, k_roll, rew_coeff)
+        obs, k_roll, rew_coeff, replay_states)
     advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
                                       ppo_cfg.gae_lambda)
 
@@ -199,7 +212,7 @@ def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         train_state, metrics_all = epoch(train_state, epoch_keys[i])
     metrics = jax.tree.map(lambda x: x[-1], metrics_all)
     metrics["reward_mean"] = jnp.mean(traj.reward)
-    return train_state, env_states, obs, metrics, infos
+    return train_state, env_states, obs, replay_states, metrics, infos
 
 
 def make_train_state(model: ActorCritic, ppo_cfg: PPOConfig, key,
@@ -243,10 +256,20 @@ class Trainer:
 
         bsh = batch_sharding(self.mesh)
         rsh = replicated_sharding(self.mesh)
+        if ppo_cfg.replay_sample_prob > 0.0:
+            from quadswarm_tpu.env.replay import init_replay_state
+            template = jax.tree.map(lambda x: x[0], jax.device_get(self.env_states))
+            self.replay_states = jax.device_put(
+                jax.vmap(lambda _: init_replay_state(template))(
+                    jnp.arange(ppo_cfg.num_envs)), bsh)
+            replay_sh = bsh
+        else:
+            self.replay_states = None
+            replay_sh = rsh  # empty pytree; spec is inert
         self._iter_fn = jax.jit(
             functools.partial(train_iteration, env_cfg, dyn_params, model, ppo_cfg),
-            in_shardings=(rsh, bsh, bsh, rsh, rsh),
-            donate_argnums=(0, 1, 2),
+            in_shardings=(rsh, bsh, bsh, rsh, rsh, replay_sh),
+            donate_argnums=(0, 1, 2, 5),
         )
         self.base_rew_coeff = dict(
             quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
@@ -264,8 +287,10 @@ class Trainer:
         self.key, k = jax.random.split(self.key)
         rew_coeff = jax.tree.map(
             lambda x: jnp.asarray(x, self.env_cfg.dtype), self.current_rew_coeff())
-        (self.train_state, self.env_states, self.obs, metrics, infos) = self._iter_fn(
-            self.train_state, self.env_states, self.obs, k, rew_coeff)
+        (self.train_state, self.env_states, self.obs, self.replay_states,
+         metrics, infos) = self._iter_fn(
+            self.train_state, self.env_states, self.obs, k, rew_coeff,
+            self.replay_states)
         self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
                            * self.env_cfg.num_agents)
         return metrics, infos

@@ -102,3 +102,14 @@ def test_gae_matches_naive():
         next_v = values[t]
     np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ret), expected + values, rtol=1e-5)
+
+
+def test_trainer_with_replay_buffer():
+    env_cfg, ppo_cfg, model, dyn = _small_setup(num_envs=8)
+    from quadswarm_tpu.parallel.ppo import PPOConfig
+    ppo_cfg = PPOConfig(rollout=8, batch_size=32, num_envs=8,
+                        replay_sample_prob=0.75)
+    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=2)
+    m, _ = trainer.iteration()
+    assert np.isfinite(float(m["loss"]))
+    assert trainer.replay_states is not None
