@@ -238,7 +238,14 @@ class Trainer:
         self.ppo_cfg = ppo_cfg
         self.model = model
         self.dyn_params = dyn_params
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # Largest device count that divides the env batch evenly
+            devs = jax.devices()
+            n_dev = len(devs)
+            while ppo_cfg.num_envs % n_dev != 0:
+                n_dev -= 1
+            mesh = make_mesh(devs[:n_dev])
+        self.mesh = mesh
         self.anneal_schedules = anneal_schedules or {}
         self.env_steps = 0
 

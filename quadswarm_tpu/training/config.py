@@ -1,0 +1,230 @@
+"""CLI flag surface.
+
+Mirrors the reference's argparse extension (swarm_rl/env_wrappers/
+quadrotor_params.py:15-121 `--quads_*` flags) plus the Sample Factory core
+training flags its baselines set (runs/quad_multi_mix_baseline.py:8-18).
+Worker-process knobs (--num_workers, --num_envs_per_worker) are replaced by
+the on-device env batch (--num_envs).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
+    # Quadrotor features
+    p.add_argument("--quads_num_agents", default=8, type=int)
+    p.add_argument("--quads_obs_repr", default="xyz_vxyz_R_omega",
+                   choices=["xyz_vxyz_R_omega", "xyz_vxyz_R_omega_floor",
+                            "xyz_vxyz_R_omega_wall"])
+    p.add_argument("--quads_episode_duration", default=15.0, type=float)
+    p.add_argument("--quads_encoder_type", default="corl", type=str)
+    # Neighbor
+    p.add_argument("--quads_neighbor_visible_num", default=-1, type=int)
+    p.add_argument("--quads_neighbor_obs_type", default="none",
+                   choices=["none", "pos_vel"])
+    p.add_argument("--quads_neighbor_hidden_size", default=256, type=int)
+    p.add_argument("--quads_neighbor_encoder_type", default="attention",
+                   choices=["attention", "mean_embed", "mlp", "no_encoder"])
+    p.add_argument("--quads_collision_reward", default=0.0, type=float)
+    p.add_argument("--quads_collision_hitbox_radius", default=2.0, type=float)
+    p.add_argument("--quads_collision_falloff_radius", default=-1.0, type=float)
+    p.add_argument("--quads_collision_smooth_max_penalty", default=10.0, type=float)
+    # Obstacle
+    p.add_argument("--quads_use_obstacles", default=False, type=str2bool)
+    p.add_argument("--quads_obstacle_obs_type", default="none",
+                   choices=["none", "octomap"])
+    p.add_argument("--quads_obst_density", default=0.2, type=float)
+    p.add_argument("--quads_obst_size", default=1.0, type=float)
+    p.add_argument("--quads_obst_spawn_area", nargs="+", default=[6.0, 6.0],
+                   type=float)
+    p.add_argument("--quads_domain_random", default=False, type=str2bool)
+    p.add_argument("--quads_obst_density_random", default=False, type=str2bool)
+    p.add_argument("--quads_obst_density_min", default=0.05, type=float)
+    p.add_argument("--quads_obst_density_max", default=0.2, type=float)
+    p.add_argument("--quads_obst_size_random", default=False, type=str2bool)
+    p.add_argument("--quads_obst_size_min", default=0.3, type=float)
+    p.add_argument("--quads_obst_size_max", default=0.6, type=float)
+    p.add_argument("--quads_obst_hidden_size", default=256, type=int)
+    p.add_argument("--quads_obst_encoder_type", default="mlp", type=str)
+    p.add_argument("--quads_obst_collision_reward", default=0.0, type=float)
+    # Aerodynamics
+    p.add_argument("--quads_use_downwash", default=False, type=str2bool)
+    # Scenarios
+    p.add_argument("--quads_mode", default="static_same_goal",
+                   choices=["static_same_goal", "static_diff_goal",
+                            "dynamic_same_goal", "dynamic_diff_goal",
+                            "ep_lissajous3D", "ep_rand_bezier", "swarm_vs_swarm",
+                            "swap_goals", "dynamic_formations", "run_away", "mix",
+                            "o_random", "o_dynamic_same_goal",
+                            "o_static_same_goal", "o_swap_goals",
+                            "o_ep_rand_bezier", "o_test"])
+    # Room
+    p.add_argument("--quads_room_dims", nargs="+", default=[10.0, 10.0, 10.0],
+                   type=float)
+    # Replay buffer
+    p.add_argument("--replay_buffer_sample_prob", default=0.0, type=float)
+    # Annealing
+    p.add_argument("--anneal_collision_steps", default=0.0, type=float)
+    # Rendering
+    p.add_argument("--quads_view_mode", nargs="+",
+                   default=["topdown", "chase", "global"],
+                   choices=["topdown", "chase", "side", "global", "corner0",
+                            "corner1", "corner2", "corner3", "topdownfollow"])
+    p.add_argument("--quads_render", default=False, type=str2bool)
+    p.add_argument("--visualize_v_value", action="store_true")
+    # Sim2Real
+    p.add_argument("--quads_sim2real", default=False, type=str2bool)
+
+
+def add_training_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--experiment", default="quad_swarm_tpu", type=str)
+    p.add_argument("--train_dir", default="train_dir", type=str)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--train_for_env_steps", default=1_000_000_000, type=int)
+    p.add_argument("--num_envs", default=1024, type=int,
+                   help="on-device env batch (replaces num_workers x num_envs_per_worker)")
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--gamma", default=0.99, type=float)
+    p.add_argument("--gae_lambda", default=1.00, type=float)
+    p.add_argument("--ppo_clip_ratio", default=0.1, type=float)
+    p.add_argument("--ppo_clip_value", default=5.0, type=float)
+    p.add_argument("--value_loss_coeff", default=0.5, type=float)
+    p.add_argument("--exploration_loss_coeff", default=0.0, type=float)
+    p.add_argument("--max_grad_norm", default=5.0, type=float)
+    p.add_argument("--rollout", default=128, type=int)
+    p.add_argument("--batch_size", default=1024, type=int)
+    p.add_argument("--num_epochs", default=1, type=int)
+    p.add_argument("--reward_clip", default=10.0, type=float)
+    p.add_argument("--rnn_size", default=256, type=int)
+    p.add_argument("--nonlinearity", default="tanh", type=str)
+    p.add_argument("--initial_stddev", default=1.0, type=float)
+    p.add_argument("--save_every_sec", default=300, type=int)
+    p.add_argument("--log_every_iters", default=10, type=int)
+    p.add_argument("--with_wandb", default=False, type=str2bool)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # PBT
+    p.add_argument("--with_pbt", default=False, type=str2bool)
+    p.add_argument("--num_policies", default=1, type=int)
+    p.add_argument("--pbt_period_env_steps", default=5_000_000, type=int)
+    p.add_argument("--pbt_start_mutation", default=20_000_000, type=int)
+    p.add_argument("--pbt_mix_policies_in_one_env", default=False, type=str2bool)
+    p.add_argument("--pbt_replace_fraction", default=0.3, type=float)
+    p.add_argument("--pbt_mutation_rate", default=0.15, type=float)
+    p.add_argument("--pbt_replace_reward_gap", default=0.1, type=float)
+    p.add_argument("--pbt_replace_reward_gap_absolute", default=1e-6, type=float)
+
+
+def parse_swarm_cfg(argv=None, evaluation: bool = False) -> argparse.Namespace:
+    p = argparse.ArgumentParser("quadswarm_tpu")
+    p.add_argument("--env", default="quadrotor_multi", type=str)
+    p.add_argument("--algo", default="APPO", type=str)
+    add_quadrotors_env_args(p)
+    add_training_args(p)
+    if evaluation:
+        p.add_argument("--load_checkpoint_kind", default="latest",
+                       choices=["latest", "best"])
+        p.add_argument("--max_num_episodes", default=1, type=int)
+        p.add_argument("--render_mode", default="plot",
+                       choices=["plot", "dump", "none", "human", "rgb_array"])
+        p.add_argument("--render_out", default="render_out", type=str)
+    return p.parse_args(argv)
+
+
+def env_config_from_args(args) -> "EnvConfig":
+    import jax.numpy as jnp
+
+    from quadswarm_tpu.env.multi import EnvConfig
+
+    falloff = args.quads_collision_falloff_radius
+    return EnvConfig(
+        num_agents=args.quads_num_agents,
+        ep_time=args.quads_episode_duration,
+        room_dims=tuple(args.quads_room_dims),
+        obs_repr=args.quads_obs_repr,
+        neighbor_obs_type=args.quads_neighbor_obs_type,
+        neighbor_visible_num=args.quads_neighbor_visible_num,
+        collision_hitbox_radius=args.quads_collision_hitbox_radius,
+        collision_falloff_radius=falloff,
+        use_obstacles=args.quads_use_obstacles,
+        obst_density=args.quads_obst_density,
+        obst_size=args.quads_obst_size,
+        obst_spawn_area=tuple(args.quads_obst_spawn_area),
+        use_downwash=args.quads_use_downwash,
+        quads_mode=args.quads_mode,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def model_from_args(args, env_cfg) -> "ActorCritic":
+    from quadswarm_tpu.env.obs import NEIGHBOR_OBS_SIZES, OBS_REPR_SIZES
+    from quadswarm_tpu.models.actor_critic import ActorCritic
+
+    return ActorCritic(
+        action_dim=4,
+        self_obs_dim=OBS_REPR_SIZES[args.quads_obs_repr],
+        neighbor_obs_dim=NEIGHBOR_OBS_SIZES[args.quads_neighbor_obs_type],
+        num_neighbors=env_cfg.num_use_neighbor_obs,
+        encoder_type=args.quads_encoder_type,
+        neighbor_encoder_type=args.quads_neighbor_encoder_type,
+        neighbor_hidden=args.quads_neighbor_hidden_size,
+        use_obstacles=args.quads_use_obstacles,
+        obstacle_hidden=args.quads_obst_hidden_size,
+        rnn_size=args.rnn_size,
+        act=args.nonlinearity,
+        sim2real=args.quads_sim2real,
+        initial_stddev=args.initial_stddev,
+    )
+
+
+def ppo_config_from_args(args) -> "PPOConfig":
+    from quadswarm_tpu.parallel.ppo import PPOConfig
+
+    return PPOConfig(
+        learning_rate=args.learning_rate,
+        gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        ppo_clip_ratio=args.ppo_clip_ratio,
+        ppo_clip_value=args.ppo_clip_value,
+        value_loss_coeff=args.value_loss_coeff,
+        exploration_loss_coeff=args.exploration_loss_coeff,
+        max_grad_norm=args.max_grad_norm,
+        rollout=args.rollout,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        reward_clip=args.reward_clip,
+        num_envs=args.num_envs,
+        replay_sample_prob=args.replay_buffer_sample_prob,
+    )
+
+
+def anneal_schedules_from_args(args) -> dict:
+    """AnnealSchedule equivalents (env_wrappers/quad_utils.py:82-95)."""
+    if args.anneal_collision_steps <= 0:
+        return {}
+    return {
+        "quadcol_bin": (args.quads_collision_reward, args.anneal_collision_steps),
+        "quadcol_bin_smooth_max": (args.quads_collision_smooth_max_penalty,
+                                   args.anneal_collision_steps),
+        "quadcol_bin_obst": (args.quads_obst_collision_reward,
+                             args.anneal_collision_steps),
+    }
+
+
+def save_cfg(args, exp_dir: str) -> None:
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+
+
+def load_cfg(exp_dir: str) -> argparse.Namespace:
+    with open(os.path.join(exp_dir, "config.json")) as f:
+        return argparse.Namespace(**json.load(f))

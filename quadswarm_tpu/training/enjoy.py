@@ -1,0 +1,102 @@
+"""Evaluation / replay CLI: `python -m quadswarm_tpu.training.enjoy ...`
+
+Mirrors swarm_rl/enjoy.py: load the experiment config + latest checkpoint,
+run the deterministic policy (action mean), report episode stats, and render
+offline frames / dump trajectories (--render_mode=plot|dump|none).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def run_eval(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from quadswarm_tpu.env.multi import env_reset, env_step
+    from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
+    from quadswarm_tpu.training.config import (
+        env_config_from_args, model_from_args,
+    )
+    from quadswarm_tpu.utils.checkpoint import (
+        checkpoint_dir, latest_checkpoint, load_checkpoint,
+    )
+    from quadswarm_tpu.utils.render import TrajectoryRecorder, render_trajectory
+
+    env_cfg = env_config_from_args(args)
+    model = model_from_args(args, env_cfg)
+    dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(
+        np.float32)
+
+    key = jax.random.PRNGKey(args.seed)
+    key, ki = jax.random.split(key)
+    params = model.init(ki, jnp.zeros((1, env_cfg.obs_dim)))
+    cp_dir = checkpoint_dir(args.train_dir, args.experiment)
+    cp = latest_checkpoint(cp_dir)
+    if cp is not None:
+        from flax import serialization
+        payload = load_checkpoint(cp)
+        params = serialization.from_state_dict(params, payload["params"])
+        print(f"loaded {cp}")
+    else:
+        print("WARNING: no checkpoint found, using random init")
+
+    step = jax.jit(lambda s, a, k: env_step(env_cfg, dyn, s, a, k))
+    policy = jax.jit(lambda p, o: model.apply(p, o)[0])  # deterministic mean
+
+    episode_stats = []
+    for ep in range(args.max_num_episodes):
+        key, rk = jax.random.split(key)
+        state, obs = env_reset(env_cfg, dyn, rk)
+        rec = TrajectoryRecorder()
+        ep_reward = np.zeros(env_cfg.num_agents)
+        done = False
+        while not done:
+            key, sk = jax.random.split(key)
+            actions = policy(params, obs)
+            state, obs, rew, dones, info = step(state, actions, sk)
+            rec.record(state, rew)
+            ep_reward += np.asarray(rew)
+            done = bool(dones[0])
+            if done:
+                stats = {k: np.asarray(v).mean() for k, v in info.items()
+                         if not k.startswith("rewards/")}
+                stats["episode_reward"] = float(ep_reward.mean())
+                episode_stats.append(stats)
+        print(f"episode {ep}: reward={episode_stats[-1]['episode_reward']:.2f} "
+              f"collisions={episode_stats[-1]['num_collisions']:.0f}")
+        out_dir = os.path.join(args.render_out, f"ep{ep:03d}")
+        if args.render_mode in ("plot", "human", "rgb_array"):
+            obstacles = None
+            if env_cfg.use_obstacles:
+                active = np.asarray(state.obst_active)
+                obstacles = np.asarray(state.obst_pos)[active][:, :2]
+            render_trajectory(rec, out_dir, room_dims=env_cfg.room_dims,
+                              views=tuple(args.quads_view_mode),
+                              obstacles=obstacles,
+                              obst_size=float(state.obst_size))
+            print(f"frames -> {out_dir}")
+        elif args.render_mode == "dump":
+            os.makedirs(args.render_out, exist_ok=True)
+            rec.dump(os.path.join(args.render_out, f"ep{ep:03d}.npz"))
+
+    agg = {k: float(np.mean([s[k] for s in episode_stats]))
+           for k in episode_stats[0]}
+    print("=== mean over episodes ===")
+    for k, v in sorted(agg.items()):
+        print(f"  {k}: {v:.4f}")
+    return agg
+
+
+def main(argv=None) -> int:
+    from quadswarm_tpu.training.config import parse_swarm_cfg
+    args = parse_swarm_cfg(argv, evaluation=True)
+    run_eval(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

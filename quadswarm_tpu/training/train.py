@@ -1,0 +1,98 @@
+"""Training CLI: `python -m quadswarm_tpu.training.train --env=quadrotor_multi ...`
+
+Mirrors swarm_rl/train.py (register env + models, parse cfg, run RL) with the
+Sample Factory runner replaced by the TPU-native Trainer / PBT runner.
+
+Example (8-drone mix baseline, runs/quad_multi_mix_baseline.py equivalent):
+    python -m quadswarm_tpu.training.train --env=quadrotor_multi \
+        --train_for_env_steps=1000000000 --quads_num_agents=8 --quads_mode=mix \
+        --quads_neighbor_encoder_type=attention --quads_neighbor_obs_type=pos_vel \
+        --quads_neighbor_visible_num=6 --quads_collision_reward=5.0 \
+        --quads_collision_falloff_radius=4.0 --replay_buffer_sample_prob=0.75 \
+        --anneal_collision_steps=300000000 --num_envs=1024
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
+    from quadswarm_tpu.training.config import (
+        anneal_schedules_from_args, env_config_from_args, model_from_args,
+        parse_swarm_cfg, ppo_config_from_args, save_cfg,
+    )
+    from quadswarm_tpu.utils.checkpoint import (
+        checkpoint_dir, latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
+    from quadswarm_tpu.utils.metrics import MetricLogger, aggregate_episode_stats
+
+    args = parse_swarm_cfg(argv)
+    exp_dir = os.path.join(args.train_dir, args.experiment)
+    save_cfg(args, exp_dir)
+
+    env_cfg = env_config_from_args(args)
+    ppo_cfg = ppo_config_from_args(args)
+    model = model_from_args(args, env_cfg)
+    dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(
+        np.float32)
+    anneal = anneal_schedules_from_args(args)
+
+    if args.with_pbt and args.num_policies > 1:
+        from quadswarm_tpu.parallel.pbt import PBTConfig, PBTRunner
+        pbt_cfg = PBTConfig(
+            num_policies=args.num_policies,
+            period_env_steps=args.pbt_period_env_steps,
+            start_mutation=args.pbt_start_mutation,
+            replace_fraction=args.pbt_replace_fraction,
+            mutation_rate=args.pbt_mutation_rate,
+            replace_reward_gap=args.pbt_replace_reward_gap,
+        )
+        runner = PBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
+                           seed=args.seed, anneal_schedules=anneal,
+                           exp_dir=exp_dir)
+        runner.train(args.train_for_env_steps)
+        return 0
+
+    from quadswarm_tpu.parallel.ppo import Trainer
+    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
+                      anneal_schedules=anneal)
+    cp_dir = checkpoint_dir(args.train_dir, args.experiment)
+    cp = latest_checkpoint(cp_dir)
+    if cp is not None:
+        trainer.train_state, trainer.env_steps = load_checkpoint(
+            cp, trainer.train_state)
+        print(f"resumed from {cp} at {trainer.env_steps} env steps")
+
+    logger = MetricLogger(exp_dir, use_wandb=args.with_wandb)
+    last_save = time.time()
+    it = 0
+    t0 = time.time()
+    try:
+        while trainer.env_steps < args.train_for_env_steps:
+            metrics, infos = trainer.iteration()
+            it += 1
+            if it % args.log_every_iters == 0:
+                import jax
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m.update(aggregate_episode_stats(jax.device_get(infos)))
+                m["perf/sps"] = trainer.env_steps / max(time.time() - t0, 1e-9)
+                logger.log(trainer.env_steps, m)
+                print(f"steps={trainer.env_steps:,} sps={m['perf/sps']:,.0f} "
+                      f"loss={m['loss']:.4f} rew={m['reward_mean']:.4f}",
+                      flush=True)
+            if time.time() - last_save > args.save_every_sec:
+                save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
+                last_save = time.time()
+    finally:
+        save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
+        logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

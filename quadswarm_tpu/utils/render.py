@@ -1,0 +1,161 @@
+"""Offline / rgb_array visualization of swarm rollouts.
+
+Replaces the reference's pyglet/OpenGL scene stack (rendering3d.py +
+quadrotor_multi_visualization.py) with a headless matplotlib renderer: the
+same camera views ('topdown', 'chase', 'side', 'global', 'corner*'), goal
+markers, per-drone traces, and collision flash colors, but rendered from a
+recorded trajectory (device arrays) instead of per-frame host callbacks —
+on TPU the sim runs ahead and rendering is strictly offline/eval-time.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+QUAD_COLORS = [  # quad_utils.py:12-24
+    (1.0, 0.0, 0.0), (1.0, 0.5, 0.0), (1.0, 1.0, 0.0), (0.0, 1.0, 1.0),
+    (1.0, 1.0, 0.5), (0.0, 0.0, 1.0), (0.22, 0.2, 0.47), (1.0, 0.0, 1.0),
+]
+
+
+@dataclass
+class TrajectoryRecorder:
+    """Accumulates per-tick states host-side during an eval rollout."""
+
+    pos: list = field(default_factory=list)        # [T] (N, 3)
+    goals: list = field(default_factory=list)      # [T] (N, 3)
+    collisions: list = field(default_factory=list)  # [T] (N,) bool
+    rewards: list = field(default_factory=list)
+
+    def record(self, state, reward=None) -> None:
+        self.pos.append(np.asarray(state.dyn.pos))
+        self.goals.append(np.asarray(state.scenario.goals))
+        self.collisions.append(np.asarray(state.prev_coll_ids))
+        if reward is not None:
+            self.rewards.append(np.asarray(reward))
+
+    def arrays(self):
+        return (np.stack(self.pos), np.stack(self.goals),
+                np.stack(self.collisions))
+
+    def dump(self, path: str) -> None:
+        pos, goals, cols = self.arrays()
+        np.savez_compressed(path, pos=pos, goals=goals, collisions=cols,
+                            rewards=np.stack(self.rewards) if self.rewards else None)
+
+
+def _set_view(ax, view: str, center, room_dims):
+    if view == "topdown":
+        ax.view_init(elev=90, azim=-90)
+    elif view == "side":
+        ax.view_init(elev=0, azim=-90)
+    elif view == "chase":
+        ax.view_init(elev=25, azim=-60)
+    elif view.startswith("corner"):
+        idx = int(view[-1]) if view[-1].isdigit() else 0
+        ax.view_init(elev=35, azim=45 + 90 * idx)
+    else:  # global
+        ax.view_init(elev=40, azim=-70)
+    half_l, half_w = room_dims[0] / 2, room_dims[1] / 2
+    ax.set_xlim(-half_l, half_l)
+    ax.set_ylim(-half_w, half_w)
+    ax.set_zlim(0, room_dims[2])
+
+
+def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
+                 views=("topdown", "chase", "global"), trace=None,
+                 obstacles=None, obst_size=1.0, figsize_per_view=4):
+    """Render one tick to an RGB array (H, W, 3) with one panel per view."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n_views = len(views)
+    fig = plt.figure(figsize=(figsize_per_view * n_views, figsize_per_view))
+    for vi, view in enumerate(views):
+        ax = fig.add_subplot(1, n_views, vi + 1, projection="3d")
+        _set_view(ax, view, pos.mean(axis=0), room_dims)
+        for i in range(pos.shape[0]):
+            color = "k" if collisions[i] else QUAD_COLORS[i % len(QUAD_COLORS)]
+            ax.scatter(*pos[i], color=color, s=40, marker="o")
+            ax.scatter(*goals[i], color=QUAD_COLORS[i % len(QUAD_COLORS)],
+                       s=25, marker="x", alpha=0.6)
+            if trace is not None and len(trace) > 1:
+                tr = np.asarray(trace)[:, i]
+                ax.plot(tr[:, 0], tr[:, 1], tr[:, 2],
+                        color=QUAD_COLORS[i % len(QUAD_COLORS)], alpha=0.3,
+                        linewidth=0.8)
+        if obstacles is not None:
+            for ob in obstacles:
+                theta = np.linspace(0, 2 * np.pi, 16)
+                r = obst_size / 2
+                for z in (0.0, room_dims[2]):
+                    ax.plot(ob[0] + r * np.cos(theta), ob[1] + r * np.sin(theta),
+                            z, color="g", alpha=0.5, linewidth=0.8)
+        ax.set_title(view, fontsize=8)
+    fig.tight_layout()
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return buf
+
+
+def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
+                      room_dims=(10.0, 10.0, 10.0),
+                      views=("topdown", "chase", "global"),
+                      every_nth: int = 10, obstacles=None, obst_size=1.0,
+                      viz_traces: int = 25, save_mp4: bool = True) -> list[str]:
+    """Render a recorded trajectory to PNG frames (+ mp4 if ffmpeg exists)."""
+    os.makedirs(out_dir, exist_ok=True)
+    pos, goals, cols = recorder.arrays()
+    paths = []
+    frames = []
+    for t in range(0, pos.shape[0], every_nth):
+        trace = pos[max(0, t - viz_traces):t + 1]
+        frame = render_frame(pos[t], goals[t], cols[t], room_dims, views,
+                             trace=trace, obstacles=obstacles,
+                             obst_size=obst_size)
+        path = os.path.join(out_dir, f"frame_{t:05d}.png")
+        import matplotlib.pyplot as plt
+        plt.imsave(path, frame)
+        paths.append(path)
+        frames.append(frame)
+    if save_mp4 and len(frames) > 1:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.animation as anim
+            import matplotlib.pyplot as plt
+            fig = plt.figure(figsize=(frames[0].shape[1] / 100,
+                                      frames[0].shape[0] / 100), dpi=100)
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.axis("off")
+            im = ax.imshow(frames[0])
+            writer = anim.FFMpegWriter(fps=10)
+            with writer.saving(fig, os.path.join(out_dir, "rollout.mp4"), dpi=100):
+                for f in frames:
+                    im.set_data(f)
+                    writer.grab_frame()
+            plt.close(fig)
+        except Exception:
+            pass  # no ffmpeg — PNG frames remain
+    return paths
+
+
+def v_value_map(model, params, obs_template: np.ndarray, drone_xy: np.ndarray,
+                extent: float = 2.0, resolution: int = 30) -> np.ndarray:
+    """Critic-value heatmap around a drone (swarm_rl/env_wrappers/
+    v_value_map.py:47-62): sweep the (x, y) components of the self obs
+    through a +-extent grid and evaluate the value head."""
+    import jax.numpy as jnp
+
+    xs = np.linspace(-extent, extent, resolution)
+    ys = np.linspace(-extent, extent, resolution)
+    grid = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
+    obs = np.tile(obs_template[None, :], (grid.shape[0], 1))
+    obs[:, 0] = obs_template[0] + grid[:, 0]
+    obs[:, 1] = obs_template[1] + grid[:, 1]
+    _, _, values = model.apply(params, jnp.asarray(obs))
+    return np.asarray(values).reshape(resolution, resolution)

@@ -1,0 +1,79 @@
+"""CLI smoke tests: train a tiny run end-to-end, resume from checkpoint,
+evaluate with enjoy (dump mode), and check the metrics/scenario-prefix
+aggregation."""
+import json
+import os
+
+import numpy as np
+
+
+def test_train_cli_and_resume(tmp_path):
+    from quadswarm_tpu.training.train import main as train_main
+    argv = [
+        "--experiment", "smoke", "--train_dir", str(tmp_path),
+        "--train_for_env_steps", "2000", "--num_envs", "4",
+        "--rollout", "8", "--batch_size", "32",
+        "--quads_num_agents", "2", "--quads_episode_duration", "2.0",
+        "--quads_neighbor_obs_type", "pos_vel",
+        "--quads_neighbor_visible_num", "1",
+        "--rnn_size", "32", "--quads_neighbor_hidden_size", "32",
+        "--log_every_iters", "1",
+    ]
+    assert train_main(argv) == 0
+    exp_dir = tmp_path / "smoke"
+    assert (exp_dir / "config.json").exists()
+    assert (exp_dir / "metrics.jsonl").exists()
+    cps = list((exp_dir / "checkpoint_p0").glob("checkpoint_*.msgpack"))
+    assert cps, "no checkpoint written"
+    # resume: train a bit more
+    argv[5] = "4000"
+    assert train_main(argv) == 0
+
+
+def test_enjoy_cli_dump(tmp_path):
+    from quadswarm_tpu.training.enjoy import main as enjoy_main
+    argv = [
+        "--experiment", "enjoy_smoke", "--train_dir", str(tmp_path),
+        "--quads_num_agents", "2", "--quads_episode_duration", "1.0",
+        "--quads_neighbor_obs_type", "pos_vel",
+        "--quads_neighbor_visible_num", "1",
+        "--rnn_size", "32", "--quads_neighbor_hidden_size", "32",
+        "--max_num_episodes", "1", "--render_mode", "dump",
+        "--render_out", str(tmp_path / "render"),
+    ]
+    assert enjoy_main(argv) == 0
+    dumps = list((tmp_path / "render").glob("*.npz"))
+    assert dumps
+    data = np.load(dumps[0])
+    assert data["pos"].shape[1:] == (2, 3)
+    assert data["pos"].shape[0] > 50
+
+
+def test_metrics_aggregation_prefixing():
+    from quadswarm_tpu.utils.metrics import aggregate_episode_stats
+    t, e, n = 4, 3, 2
+    done = np.zeros((t, e), bool)
+    done[2, 1] = True
+    infos = {
+        "episode_done": done,
+        "scenario_mode": np.zeros((t, e), np.int32),
+        "num_collisions": np.full((t, e), 7, np.int32),
+        "num_collisions_after_settle": np.full((t, e), 3, np.int32),
+        "distance_to_goal_1s": np.full((t, e, n), 0.5, np.float32),
+        "true_reward": np.full((t, e, n), -1.0, np.float32),
+    }
+    out = aggregate_episode_stats(infos)
+    assert out["num_collisions"] == 7.0
+    assert out["static_same_goal/num_collisions"] == 3.0
+    assert out["distance_to_goal_1s"] == 0.5
+    assert out["num_episodes"] == 1.0
+
+
+def test_render_frame():
+    from quadswarm_tpu.utils.render import render_frame
+    pos = np.array([[0.0, 0.0, 2.0], [1.0, 1.0, 3.0]])
+    goals = pos + 0.5
+    cols = np.array([False, True])
+    frame = render_frame(pos, goals, cols, views=("topdown", "global"))
+    assert frame.ndim == 3 and frame.shape[2] == 3
+    assert frame.shape[0] > 100 and frame.shape[1] > 100
