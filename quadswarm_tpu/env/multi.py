@@ -42,6 +42,12 @@ from quadswarm_tpu.env.sensor import SensorNoiseParams, add_noise
 GRAV = 9.81
 
 
+def _per_drone(params: Any) -> bool:
+    """True when DynamicsParams carry a leading per-drone axis (stacked by
+    DynamicsParams.stack for domain randomization)."""
+    return jnp.ndim(params.mass) >= 1
+
+
 @struct.dataclass
 class EnvConfig:
     """Static env configuration (mirrors QuadrotorEnvMulti.__init__ kwargs +
@@ -349,8 +355,14 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
                                 state=state.dyn, goal=goals,
                                 zero_action_middle=cfg.zero_action_middle)
     dyn_keys = jax.random.split(keys[0], n)
-    dyn = jax.vmap(lambda s, t, k: dynamics_step(params, dyn_cfg, s, t, k))(
-        state.dyn, thrust_cmds, dyn_keys)
+    if _per_drone(params):
+        # Domain-randomized fleets: params carry a leading per-drone axis
+        # (DynamicsParams.stack), mapped alongside the drone states.
+        dyn = jax.vmap(lambda p, s, t, k: dynamics_step(p, dyn_cfg, s, t, k))(
+            params, state.dyn, thrust_cmds, dyn_keys)
+    else:
+        dyn = jax.vmap(lambda s, t, k: dynamics_step(params, dyn_cfg, s, t, k))(
+            state.dyn, thrust_cmds, dyn_keys)
 
     time_remain = cfg.ep_len - state.tick
     rewards, rew_info = compute_reward(
@@ -360,8 +372,11 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     done = tick > cfg.ep_len
 
     # ---- 2. Collision detection ---------------------------------------------
-    hitbox = cfg.collision_hitbox_radius * params.arm
-    falloff = cfg.collision_falloff_radius * params.arm
+    # Like the reference, collision radii use drone 0's arm length
+    # (quadrotor_multi.py:81, 154-155: envs[0].dynamics.arm).
+    arm = params.arm[0] if _per_drone(params) else params.arm
+    hitbox = cfg.collision_hitbox_radius * arm
+    falloff = cfg.collision_falloff_radius * arm
     dist, curr_pairs = coll.collision_matrix(dyn.pos, hitbox)
     curr_ids = jnp.any(curr_pairs, axis=-1)
     unique_ids = curr_ids & ~state.prev_coll_ids        # setdiff1d on drone ids
@@ -382,7 +397,7 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     if cfg.use_obstacles:
         obst_hit, obst_idx = obst.obstacle_collisions(
             dyn.pos[:, :2], state.obst_pos[:, :2], state.obst_active,
-            state.obst_size / 2.0, params.arm)
+            state.obst_size / 2.0, arm)
         curr_obst = obst_hit & ~state.prev_obst_hits
         n_obst_coll = jnp.sum(curr_obst).astype(jnp.int32)
         obst_collisions_per_episode = state.obst_collisions_per_episode + n_obst_coll

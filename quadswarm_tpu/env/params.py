@@ -527,3 +527,43 @@ DYN_SAMPLERS = {
     "AbsoluteSampler": AbsoluteSampler,
     "ConstValueSampler": ConstValueSampler,
 }
+
+
+def make_dynamics_params(quad: str = "Crazyflie",
+                         dynamics_change: dict | None = None,
+                         dyn_sampler_1: dict | None = None,
+                         num_agents: int = 1, per_drone: bool = False,
+                         dt: float = 1.0 / 200, seed: int = 0,
+                         dtype=np.float32) -> DynamicsParams:
+    """Build (optionally per-drone-randomized) dynamics parameters the way
+    the reference env factory does (env_wrappers/quad_utils.py:20-35 +
+    quadrotor_single.py:184-211): base sampler by quad name, `dynamics_change`
+    dict update, then an optional perturbation sampler.
+
+    per_drone=True samples an independent parameter set for every drone and
+    stacks them along a leading axis (consumed by env_step's vmapped
+    dynamics); this is the TPU equivalent of per-env dynamics randomization.
+    """
+    rng = np.random.default_rng(seed)
+    base_sampler = DYN_SAMPLERS[quad]()
+    if hasattr(base_sampler, "rng"):
+        base_sampler.rng = rng
+
+    sampler_1 = None
+    if dyn_sampler_1 is not None:
+        kwargs = dict(dyn_sampler_1)
+        cls_name = kwargs.pop("class", kwargs.pop("type", None))
+        sampler_1 = DYN_SAMPLERS[cls_name](rng=rng, **kwargs)
+
+    def sample_one() -> DynamicsParams:
+        model = base_sampler.sample()
+        if dynamics_change is not None:
+            dict_update_existing(model, copy.deepcopy(dynamics_change))
+        if sampler_1 is not None:
+            model = sampler_1.sample(model)
+        check_quad_param_limits(model)
+        return DynamicsParams.from_model(model, dt=dt).astype(dtype)
+
+    if not per_drone:
+        return sample_one()
+    return DynamicsParams.stack([sample_one() for _ in range(num_agents)])

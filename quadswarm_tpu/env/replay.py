@@ -82,6 +82,16 @@ def _read_slot(ring, idx):
     return jax.tree.map(lambda r: jax.lax.dynamic_index_in_dim(r, idx, 0, False), ring)
 
 
+def _write_slot_if(cond, ring, idx, item):
+    """Masked ring write that stays O(slot), not O(ring): always write slot
+    `idx`, but select between the new item and the slot's current contents.
+    (A `jnp.where(cond, dynamic_update(ring,...), ring)` would force XLA to
+    copy the WHOLE ring every step — the bandwidth killer for scans.)"""
+    cur = _read_slot(ring, idx)
+    item = jax.tree.map(lambda a, b: jnp.where(cond, a, b), item, cur)
+    return _write_slot(ring, idx, item)
+
+
 def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
                 state: EnvState, rstate: ReplayState, actions: jax.Array,
                 key: jax.Array):
@@ -98,9 +108,7 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     save_cp = (~done) & rstate.activated & (~rstate.saved_in_replay_buffer) & (
         tick % cp_freq == 0)
     cp_slot = rstate.ep_cp_count % EP_CP_SLOTS
-    ep_cps = jax.tree.map(
-        lambda r, x: jnp.where(save_cp, jax.lax.dynamic_update_index_in_dim(
-            r, x, cp_slot, 0), r), rstate.ep_checkpoints, new_state)
+    ep_cps = _write_slot_if(save_cp, rstate.ep_checkpoints, cp_slot, new_state)
     ep_cp_count = jnp.where(save_cp, rstate.ep_cp_count + 1, rstate.ep_cp_count)
 
     # Collision this tick? (new drone pair or new obstacle hit)
@@ -116,9 +124,7 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     # checkpoint from 1.5 s ago = steps_ago slots back in the ring
     read_slot = (ep_cp_count - steps_ago) % EP_CP_SLOTS
     cp = _read_slot(ep_cps, read_slot)
-    buffer = jax.tree.map(
-        lambda r, x: jnp.where(can_write, jax.lax.dynamic_update_index_in_dim(
-            r, x, rstate.buffer_idx, 0), r), rstate.buffer, cp)
+    buffer = _write_slot_if(can_write, rstate.buffer, rstate.buffer_idx, cp)
     num_replayed = jnp.where(
         can_write, rstate.num_replayed.at[rstate.buffer_idx].set(0),
         rstate.num_replayed)

@@ -152,3 +152,34 @@ def test_goal_distance_decreases_with_hover_oracle():
     d1 = float(jnp.linalg.norm(state.dyn.pos - state.scenario.goals))
     assert d1 < d0, (d0, d1)
     assert d1 < 0.5, d1
+
+
+def test_per_drone_randomized_dynamics():
+    """Domain-randomized fleet: stacked per-drone params drive the vmapped
+    dynamics; different masses must produce different trajectories."""
+    from quadswarm_tpu.env.params import make_dynamics_params
+    cfg = EnvConfig(num_agents=4, neighbor_obs_type="pos_vel",
+                    neighbor_visible_num=1, quads_mode="static_same_goal",
+                    use_sensor_noise=False, dtype=jnp.float64)
+    params = make_dynamics_params(
+        quad="Crazyflie",
+        dyn_sampler_1={"class": "RelativeSampler", "noise_ratio": 0.2,
+                       "sampler": "normal"},
+        num_agents=4, per_drone=True, dt=cfg.dt, seed=1, dtype=np.float64)
+    assert np.asarray(params.mass).shape == (4,)
+    assert len(np.unique(np.asarray(params.mass))) == 4
+
+    key = jax.random.PRNGKey(0)
+    key, rk = jax.random.split(key)
+    state, obs = env_reset(cfg, params, rk)
+    # identical spawn + identical actions -> different dynamics separate them
+    pos0 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 2.0]), (4, 3))
+    state = state.replace(dyn=state.dyn.replace(
+        pos=pos0, vel=jnp.zeros((4, 3)), omega=jnp.zeros((4, 3)),
+        rot=jnp.broadcast_to(jnp.eye(3), (4, 3, 3))))
+    step = jax.jit(lambda s, a, k: env_step(cfg, params, s, a, k))
+    for t in range(20):
+        key, sk = jax.random.split(key)
+        state, obs, rew, done, info = step(state, 0.2 * jnp.ones((4, 4)), sk)
+    z = np.asarray(state.dyn.pos[:, 2])
+    assert len(np.unique(np.round(z, 6))) > 1, z
