@@ -66,6 +66,19 @@ def quadrotor_jacobian(params: Any) -> np.ndarray:
     return np.vstack([dv, dw])
 
 
+def jacobian_inv(params: Any) -> jax.Array:
+    """Traceable J^-1 for a single parameter set (jnp twin of
+    quadrotor_jacobian + inverse); vmap for per-drone-randomized fleets."""
+    cross = jnp.asarray(params.prop_crossproducts)          # (4, 3)
+    torque = jnp.asarray(params.thrust_max) * cross.T        # (3, 4)
+    torque = torque.at[2, :].set(
+        jnp.asarray(params.torque_max) * jnp.asarray(params.prop_ccw))
+    thrust = jnp.asarray(params.thrust_max) * jnp.ones((1, 4), torque.dtype)
+    dw = (1.0 / jnp.asarray(params.inertia))[:, None] * torque
+    dv = thrust / jnp.asarray(params.mass)
+    return jnp.linalg.inv(jnp.concatenate([dv, dw], axis=0))
+
+
 def omega_thrust_control(j_inv: jax.Array, omega: jax.Array,
                          action: jax.Array) -> jax.Array:
     """OmegaThrustControl (quadrotor_control.py:174-200): P control on omega
@@ -74,7 +87,7 @@ def omega_thrust_control(j_inv: jax.Array, omega: jax.Array,
     dw_des = -kp * (omega - action[..., 1:])
     acc_des = GRAV * (action[..., 0:1] + 1.0)
     des = jnp.concatenate([acc_des, dw_des], axis=-1)
-    thrusts = jnp.einsum("ij,...j->...i", j_inv, des)
+    thrusts = jnp.einsum("...ij,...j->...i", j_inv, des)
     return jnp.clip(thrusts, 0.0, 1.0)
 
 
@@ -111,11 +124,42 @@ def mellinger_control(j_inv: jax.Array, pos: jax.Array, vel: jax.Array,
     dw_des = -kp_a * e_r - kd_a * omega
     thrust_mag = jnp.sum(acc_des * rot[..., :, 2], axis=-1, keepdims=True)
     des = jnp.concatenate([thrust_mag, dw_des], axis=-1)
-    thrusts = jnp.einsum("ij,...j->...i", j_inv, des)
+    thrusts = jnp.einsum("...ij,...j->...i", j_inv, des)
     return jnp.clip(thrusts, 0.0, 1.0)
 
 
-CONTROL_MODES = ("raw", "vertical", "vert_plane", "omega", "mellinger")
+def velocity_yaw_control(j_inv: jax.Array, pos: jax.Array, vel: jax.Array,
+                         rot: jax.Array, omega: jax.Array, action: jax.Array,
+                         kp_v: float = 5.0, kp_a: float = 100.0,
+                         kd_a: float = 50.0) -> jax.Array:
+    """VelocityYawControl (quadrotor_control.py:204-248): P control on velocity
+    (action[:3]) + desired yaw rate (action[3]), geometric attitude loop.
+
+    The reference computes thrust_mag via a stray `get_blas_funcs` call (:243
+    — a bug, it returns a BLAS function object, and the class is marked
+    untested); here thrust_mag is the intended dot(acc_des, R[:, 2]).
+    """
+    e_v = vel - action[..., :3]
+    acc_des = -kp_v * e_v + jnp.array([0.0, 0.0, GRAV], pos.dtype)
+
+    zb_des, _ = normalize(acc_des)
+    yb_des, _ = normalize(jnp.cross(zb_des, rot[..., :, 0]))
+    xb_des = jnp.cross(yb_des, zb_des)
+    rot_des = jnp.stack([xb_des, yb_des, zb_des], axis=-1)
+
+    e_r = 0.5 * _vee(jnp.swapaxes(rot_des, -1, -2) @ rot
+                     - jnp.swapaxes(rot, -1, -2) @ rot_des)
+    omega_des = jnp.concatenate(
+        [jnp.zeros_like(action[..., :2]), action[..., 3:4]], axis=-1)
+    dw_des = -kp_a * e_r - kd_a * (omega - omega_des)
+    thrust_mag = jnp.sum(acc_des * rot[..., :, 2], axis=-1, keepdims=True)
+    des = jnp.concatenate([thrust_mag, dw_des], axis=-1)
+    thrusts = jnp.einsum("...ij,...j->...i", j_inv, des)
+    return jnp.clip(thrusts, 0.0, 1.0)
+
+
+CONTROL_MODES = ("raw", "vertical", "vert_plane", "omega", "velocity_yaw",
+                 "mellinger")
 
 
 def apply_control(mode: str, action: jax.Array, *, j_inv=None, state=None,
@@ -129,10 +173,14 @@ def apply_control(mode: str, action: jax.Array, *, j_inv=None, state=None,
         return vert_plane_control(action, zero_action_middle)
     if mode == "omega":
         return omega_thrust_control(j_inv, state.omega, action)
+    if mode == "velocity_yaw":
+        return velocity_yaw_control(j_inv, state.pos, state.vel, state.rot,
+                                    state.omega, action)
     if mode == "mellinger":
         return mellinger_control(j_inv, state.pos, state.vel, state.rot, state.omega, goal)
     raise ValueError(f"unknown control mode: {mode}")
 
 
 def action_dim(mode: str) -> int:
-    return {"raw": 4, "vertical": 1, "vert_plane": 2, "omega": 4, "mellinger": 4}[mode]
+    return {"raw": 4, "vertical": 1, "vert_plane": 2, "omega": 4,
+            "velocity_yaw": 4, "mellinger": 4}[mode]

@@ -99,7 +99,9 @@ class EnvConfig:
             return 0
         if self.neighbor_visible_num == -1:
             return self.num_agents - 1
-        return self.neighbor_visible_num
+        # visible_num can exceed N-1 when a baseline config is run with a
+        # smaller swarm; only N-1 neighbors exist to observe.
+        return min(self.neighbor_visible_num, self.num_agents - 1)
 
     @property
     def room_box(self) -> tuple:
@@ -351,8 +353,13 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     goals = state.scenario.goals
 
     # ---- 1. Per-drone control + dynamics (quadrotor_single._step) ----------
+    j_inv = None
+    if cfg.control_mode in ("omega", "velocity_yaw", "mellinger"):
+        from quadswarm_tpu.env.controls import jacobian_inv
+        j_inv = (jax.vmap(jacobian_inv)(params) if _per_drone(params)
+                 else jacobian_inv(params)).astype(dtype)
     thrust_cmds = apply_control(cfg.control_mode, actions.astype(dtype),
-                                state=state.dyn, goal=goals,
+                                j_inv=j_inv, state=state.dyn, goal=goals,
                                 zero_action_middle=cfg.zero_action_middle)
     dyn_keys = jax.random.split(keys[0], n)
     if _per_drone(params):

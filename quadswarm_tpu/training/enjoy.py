@@ -92,8 +92,23 @@ def run_eval(args) -> dict:
 
 
 def main(argv=None) -> int:
+    """Like the reference's enjoy (sample_factory load_from_checkpoint): the
+    experiment's saved config.json is the base config; flags given explicitly
+    on the command line override it."""
     from quadswarm_tpu.training.config import parse_swarm_cfg
     args = parse_swarm_cfg(argv, evaluation=True)
+    cfg_path = os.path.join(args.train_dir, args.experiment, "config.json")
+    if os.path.exists(cfg_path):
+        import json
+        with open(cfg_path) as f:
+            saved = json.load(f)
+        explicit = {a.split("=", 1)[0].lstrip("-")
+                    for a in (argv if argv is not None else sys.argv[1:])
+                    if a.startswith("--")}
+        for k, v in saved.items():
+            if k not in explicit and hasattr(args, k):
+                setattr(args, k, v)
+        print(f"config loaded from {cfg_path}")
     run_eval(args)
     return 0
 
