@@ -85,7 +85,28 @@ if __name__ == "__main__":
     p.add_argument("--num_agents", type=int, default=8)
     p.add_argument("--block", type=int, default=100)
     p.add_argument("--blocks", type=int, default=5)
+    p.add_argument("--sweep", action="store_true",
+                   help="report SPS at N=1/8/32/128 agents (the reference's "
+                        "fps_compare.py grid); one JSON line per N to stderr, "
+                        "headline 8-agent line to stdout")
     args = p.parse_args()
-    result = bench(num_envs=args.num_envs, num_agents=args.num_agents,
-                   block=args.block, blocks=args.blocks)
-    print(json.dumps(result))
+    if args.sweep:
+        import sys
+
+        from quadswarm_tpu.analysis.plots import PYBULLET_SPS, REFERENCE_SPS
+        headline = None
+        for n in (1, 8, 32, 128):
+            # keep total per-step work comparable: fewer envs for big swarms
+            envs = max(64, args.num_envs * 8 // max(8, n))
+            r = bench(num_envs=envs, num_agents=n, block=args.block,
+                      blocks=args.blocks)
+            r["vs_baseline"] = round(r["value"] / REFERENCE_SPS[n], 2)
+            r["vs_pybullet"] = round(r["value"] / PYBULLET_SPS[n], 2)
+            print(json.dumps(r), file=sys.stderr)
+            if n == 8:
+                headline = r
+        print(json.dumps(headline))
+    else:
+        result = bench(num_envs=args.num_envs, num_agents=args.num_agents,
+                       block=args.block, blocks=args.blocks)
+        print(json.dumps(result))

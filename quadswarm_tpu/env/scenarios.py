@@ -218,7 +218,10 @@ def sample_free_cells(key, obst_active, centers, num: int, z_lo, z_hi, dtype):
     kc, kz = jax.random.split(key)
     scores = jax.random.uniform(kc, obst_active.shape)
     scores = jnp.where(obst_active, -jnp.inf, scores)
-    idx = jnp.argsort(-scores)[:num]
+    # Cells are distinct while num <= grid size; beyond that (huge swarms on
+    # a small grid) wrap around, reusing the freest cells cyclically.
+    take = jnp.arange(num) % obst_active.shape[0]
+    idx = jnp.argsort(-scores)[take]
     xy = centers[idx]
     z = jax.random.uniform(kz, (num,), dtype, z_lo, z_hi)
     return jnp.concatenate([xy.astype(dtype), z[:, None]], axis=-1)

@@ -69,6 +69,28 @@ def run_eval(args) -> dict:
         print(f"episode {ep}: reward={episode_stats[-1]['episode_reward']:.2f} "
               f"collisions={episode_stats[-1]['num_collisions']:.0f}")
         out_dir = os.path.join(args.render_out, f"ep{ep:03d}")
+        if getattr(args, "visualize_v_value", False):
+            # Critic-value heatmap around drone 0 at episode end
+            # (swarm_rl/env_wrappers/v_value_map.py:47-62).
+            from quadswarm_tpu.utils.render import v_value_map
+            os.makedirs(out_dir, exist_ok=True)
+            vmap2d = v_value_map(model, params, np.asarray(obs)[0],
+                                 np.asarray(state.dyn.pos)[0, :2])
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                fig, ax = plt.subplots(figsize=(4, 4))
+                im = ax.imshow(vmap2d, origin="lower", extent=[-2, 2, -2, 2],
+                               cmap="viridis")
+                fig.colorbar(im, ax=ax, label="V(s)")
+                ax.set_title(f"critic value map, ep {ep}")
+                fig.savefig(os.path.join(out_dir, "v_value_map.png"),
+                            bbox_inches="tight")
+                plt.close(fig)
+                print(f"v-value map -> {out_dir}/v_value_map.png")
+            except ImportError:
+                np.save(os.path.join(out_dir, "v_value_map.npy"), vmap2d)
         if args.render_mode in ("plot", "human", "rgb_array"):
             obstacles = None
             if env_cfg.use_obstacles:
