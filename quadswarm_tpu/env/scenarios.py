@@ -46,7 +46,14 @@ MODES = (
     "o_dynamic_same_goal",  # 12
     "o_swap_goals",         # 13
     "o_ep_rand_bezier",     # 14
-    "o_test",               # 15
+    # The reference CLI advertises the next four (quadrotor_params.py:94-96)
+    # but never implemented them (its eval factory raises NameError —
+    # SURVEY.md §2.3); implemented here from their evident semantics.
+    "o_uniform_same_goal_spawn",  # 15 per-drone uniform spawn over free cells
+    "o_diagonal",                 # 16 corner-to-corner traverse
+    "o_static_diff_goal",         # 17 static per-drone formation goals
+    "o_dynamic_diff_goal",        # 18 formation teleports across free squares
+    "o_test",               # 19
 )
 MODE_IDS = {m: i for i, m in enumerate(MODES)}
 
@@ -80,6 +87,10 @@ MODE_TABLE = {
     "o_dynamic_same_goal": (1, 0.0, 0.0),
     "o_swap_goals": (7, 8 * _ARM, 16 * _ARM),
     "o_ep_rand_bezier": (1, 0.0, 0.0),
+    "o_uniform_same_goal_spawn": (1, 0.0, 0.0),
+    "o_diagonal": (1, 0.0, 0.0),
+    "o_static_diff_goal": (8, 5 * _ARM, 10 * _ARM),
+    "o_dynamic_diff_goal": (8, 5 * _ARM, 10 * _ARM),
     "o_test": (1, 0.0, 0.0),
 }
 MODE_NUM_CHOICES = np.array([MODE_TABLE[m][0] for m in MODES], np.int32)
@@ -368,17 +379,58 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
         is_random = mode == MODE_IDS["o_random"]
         is_swap = mode == MODE_IDS["o_swap_goals"]
         is_bezier = mode == MODE_IDS["o_ep_rand_bezier"]
+        is_uniform = mode == MODE_IDS["o_uniform_same_goal_spawn"]
+        is_diag = mode == MODE_IDS["o_diagonal"]
+        is_diff = ((mode == MODE_IDS["o_static_diff_goal"])
+                   | (mode == MODE_IDS["o_dynamic_diff_goal"]))
         swap_center = max_free_square_center(keys[9], obst_map2d, centers, dtype)
         swap_goals = generate_goals(n, fid, swap_center, size, layer_dist, npl, dtype)
         swap_goals = jax.random.permutation(keys[10], swap_goals, axis=0)
         # o_ep_rand_bezier starts from a single random free cell (o_ep_rand_bezier.py:66)
         bezier_end = sample_free_cells(keys[11], active, centers, 1, 0.75, 3.0, dtype)[0]
 
-        end = jnp.where(is_bezier, bezier_end, square_end)
+        # o_uniform_same_goal_spawn: each drone an independent uniform free
+        # cell (with replacement), shared goal at the freest square.
+        ku_cell, ku_z, kd_sign, kd_noise = jax.random.split(keys[7], 4)
+        logits = jnp.where(active, -jnp.inf, 0.0)
+        u_idx = jax.random.categorical(ku_cell, logits, shape=(n,))
+        u_z = jax.random.uniform(ku_z, (n,), dtype, 1.0, 3.0)
+        uniform_spawn = jnp.concatenate(
+            [centers[u_idx].astype(dtype), u_z[:, None]], axis=-1)
+
+        # o_diagonal: swarm spawns near a random corner of the grid, shared
+        # goal at the free cell nearest the opposite corner.
+        sign = jnp.where(jax.random.bernoulli(kd_sign, shape=(2,)), 1.0, -1.0)
+        corner_score = centers[:, 0] * sign[0] + centers[:, 1] * sign[1]
+        noise = 1e-3 * jax.random.uniform(kd_noise, corner_score.shape)
+        near = jnp.where(active, -jnp.inf, corner_score + noise)
+        take = jnp.arange(n) % active.shape[0]
+        diag_idx = jnp.argsort(-near)[take]
+        diag_spawn = jnp.concatenate(
+            [centers[diag_idx].astype(dtype),
+             jnp.full((n, 1), 2.0, dtype)], axis=-1)
+        far = jnp.where(active, jnp.inf, corner_score - noise)
+        goal_idx = jnp.argmin(far)
+        diag_goal = jnp.concatenate(
+            [centers[goal_idx].astype(dtype), jnp.full((1,), 2.0, dtype)])
+
+        # o_{static,dynamic}_diff_goal: per-drone formation goals around the
+        # freest square center.
+        diff_goals = jax.random.permutation(keys[10], generate_goals(
+            n, fid, square_end, size, layer_dist, npl, dtype), axis=0)
+
+        end = jnp.where(is_bezier, bezier_end,
+                        jnp.where(is_diag, diag_goal, square_end))
         goals = jnp.where(
             is_random, per_agent_end,
-            jnp.where(is_swap, swap_goals, jnp.broadcast_to(end, (n, 3))))
-        center = jnp.where(is_swap, swap_center, jnp.asarray([0.0, 0.0, 2.0], dtype))
+            jnp.where(is_swap, swap_goals,
+                      jnp.where(is_diff, diff_goals,
+                                jnp.broadcast_to(end, (n, 3)))))
+        spawn = jnp.where(is_uniform, uniform_spawn,
+                          jnp.where(is_diag, diag_spawn, spawn))
+        center = jnp.where(is_swap, swap_center,
+                           jnp.where(is_diff, square_end,
+                                     jnp.asarray([0.0, 0.0, 2.0], dtype)))
         return st.replace(goals=goals, spawn_points=spawn, end_point=end,
                           formation_center=center)
 
@@ -539,6 +591,25 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
                          goals=jnp.broadcast_to(new_goal, (n, 3)))
         return jax.tree.map(lambda a, b: jnp.where(trigger, a, b), new, st)
 
+    def o_dynamic_diff_goal(st):
+        # Formation teleports to the freest square at each interval, with
+        # resampled formation parameters (diff-goal analogue of
+        # o_dynamic_same_goal).
+        active = obst_active if obst_active is not None else jnp.zeros(1, bool)
+        centers = obst_centers if obst_centers is not None else jnp.zeros((1, 2), dtype)
+        obst_map2d = active.reshape(cfg.obst_area[0], -1) if active.shape[0] > 1 \
+            else active.reshape(1, 1)
+        fid, npl, lo, hi, size, layer_dist = _sample_formation_params(
+            keys[1], cfg, st.mode, dtype)
+        center = max_free_square_center(keys[2], obst_map2d, centers, dtype)
+        goals = generate_goals(n, fid, center, size, layer_dist, npl, dtype)
+        goals = jax.random.permutation(keys[3], goals, axis=0)
+        new = st.replace(formation=fid, num_agents_per_layer=npl,
+                         lowest_size=lo, highest_size=hi, formation_size=size,
+                         layer_dist=layer_dist, formation_center=center,
+                         end_point=center, goals=goals)
+        return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
+
     def o_test(st):
         # test/o_test.py:31-43: after duration, move goals to end_point
         trigger = tick > st.interval
@@ -564,6 +635,10 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         o_dynamic_same_goal,
         swap_goals,            # o_swap_goals (same swap logic)
         bezier_obst,
+        no_op,                 # o_uniform_same_goal_spawn
+        no_op,                 # o_diagonal
+        no_op,                 # o_static_diff_goal
+        o_dynamic_diff_goal,
         o_test,
     ]
     return jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1), branches, st)

@@ -1,0 +1,173 @@
+"""APPO: asynchronous PPO with policy lag and V-trace correction.
+
+Reference: Sample Factory's APPO — the trainer swarm_rl delegates to via
+`run_rl(cfg)` (swarm_rl/train.py:32; SURVEY.md §2.2/§3.1).  SF hides rollout
+latency with actor processes that sample using *stale* policy weights (the
+learner broadcasts new versions asynchronously) and optionally corrects the
+resulting off-policy-ness with V-trace (SF `--with_vtrace`).
+
+TPU-native reading: the actor/learner split becomes TWO jitted programs —
+`rollout` (env scan + inference under behavior params) and `learn` (V-trace /
+GAE + minibatch SGD).  With `policy_lag=L`, the rollout dispatched at
+iteration i uses the params produced at iteration i-1-L(+1 queue semantics),
+so the rollout program has no data dependency on the immediately preceding
+learner program: the host can keep both in flight in the device queue, and on
+a sharded mesh XLA may overlap them — the same latency-hiding APPO buys with
+processes, without host<->device ping-pong.  `policy_lag=0` reduces exactly to
+synchronous PPO.
+
+V-trace (Espeholt et al., IMPALA 2018): with clipped importance weights
+rho_t = min(pi/mu, rho_clip), c_t = min(pi/mu, c_clip),
+    vs_t - V_t = delta_t + gamma * c_t * (vs_{t+1} - V_{t+1}),
+    delta_t    = rho_t * (r_t + gamma * V_{t+1} - V_t),
+policy-gradient advantage rho_t * (r_t + gamma * vs_{t+1} - V_t).  With
+rho=c=1 and on-policy data this reduces to GAE(lambda=1) — tested against
+`compute_gae` in tests/test_training.py.
+"""
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from quadswarm_tpu.models.actor_critic import gaussian_log_prob
+from quadswarm_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from quadswarm_tpu.parallel.ppo import (
+    PPOConfig, Trainer, Transition, collect_rollout, compute_gae, sgd_epochs,
+)
+
+
+def vtrace_advantages(ratio: jax.Array, reward: jax.Array, value: jax.Array,
+                      done: jax.Array, last_value: jax.Array, gamma: float,
+                      rho_clip: float = 1.0, c_clip: float = 1.0):
+    """V-trace targets/advantages over a [T, E, N] trajectory.
+
+    `ratio` = exp(log pi_learner - log mu_behavior) per step; `value` are the
+    LEARNER's value predictions for the visited states; `last_value` the
+    learner bootstrap for the state after the final step.  Episode boundaries
+    (`done`) cut the recursion and the bootstrap exactly like in GAE.
+    """
+    dtype = value.dtype
+    rho = jnp.minimum(ratio, rho_clip).astype(dtype)
+    c = jnp.minimum(ratio, c_clip).astype(dtype)
+    not_done = 1.0 - done.astype(dtype)
+    next_values = jnp.concatenate([value[1:], last_value[None]], axis=0)
+    delta = rho * (reward + gamma * next_values * not_done - value)
+
+    def scan_fn(acc, x):
+        delta_t, c_t, nd_t = x
+        acc = delta_t + gamma * c_t * nd_t * acc
+        return acc, acc
+
+    _, vs_minus_v = jax.lax.scan(scan_fn, jnp.zeros_like(last_value),
+                                 (delta, c, not_done), reverse=True)
+    vs = vs_minus_v + value
+    vs_next = jnp.concatenate([vs[1:], last_value[None]], axis=0)
+    pg_adv = rho * (reward + gamma * vs_next * not_done - value)
+    return pg_adv, vs
+
+
+def appo_learn(model, ppo_cfg: PPOConfig, train_state, traj: Transition,
+               last_obs: jax.Array, key: jax.Array):
+    """Learner half: recompute values (and log-probs, for V-trace) under the
+    CURRENT params over the stale trajectory, build advantages/targets, run
+    minibatch SGD (shared with sync PPO)."""
+    t_dim, e_dim, n_dim = traj.reward.shape
+
+    def learner_forward(obs):
+        mean, log_std, value = model.apply(
+            train_state.params, obs.reshape(-1, obs.shape[-1]))
+        return mean, log_std, value
+
+    mean, log_std, values_flat = learner_forward(traj.obs)
+    values = values_flat.reshape(t_dim, e_dim, n_dim)
+    _, _, last_value_flat = learner_forward(last_obs)
+    last_value = last_value_flat.reshape(e_dim, n_dim)
+
+    if ppo_cfg.with_vtrace:
+        target_log_prob = gaussian_log_prob(
+            mean, log_std, traj.actions.reshape(-1, traj.actions.shape[-1]))
+        ratio = jnp.exp(jax.lax.stop_gradient(target_log_prob).reshape(
+            t_dim, e_dim, n_dim) - traj.log_prob)
+        advantages, returns = vtrace_advantages(
+            ratio, traj.reward, jax.lax.stop_gradient(values), traj.done,
+            jax.lax.stop_gradient(last_value), ppo_cfg.gamma,
+            ppo_cfg.vtrace_rho, ppo_cfg.vtrace_c)
+    else:
+        # GAE under the learner's value function (SF recomputes values on the
+        # learner as well); the PPO ratio still corrects the policy lag.
+        learner_traj = traj._replace(value=jax.lax.stop_gradient(values))
+        advantages, returns = compute_gae(
+            learner_traj, jax.lax.stop_gradient(last_value), ppo_cfg.gamma,
+            ppo_cfg.gae_lambda)
+
+    train_state, metrics = sgd_epochs(model, ppo_cfg, train_state, traj,
+                                      advantages, returns, key)
+    metrics["reward_mean"] = jnp.mean(traj.reward)
+    return train_state, metrics
+
+
+class APPOTrainer(Trainer):
+    """Two-program asynchronous trainer (rollout | learn) with policy lag.
+
+    `policy_lag=0` is synchronous PPO with the learner-side advantage
+    computation; `policy_lag>=1` lets rollout i run independently of learner
+    i-1 (APPO).  V-trace is enabled via PPOConfig.with_vtrace.
+    """
+
+    def __init__(self, env_cfg, ppo_cfg: PPOConfig, model, dyn_params: Any,
+                 seed: int = 0, anneal_schedules: dict | None = None,
+                 mesh=None, policy_lag: int = 1):
+        super().__init__(env_cfg, ppo_cfg, model, dyn_params, seed=seed,
+                         anneal_schedules=anneal_schedules, mesh=mesh)
+        self.policy_lag = policy_lag
+        bsh = batch_sharding(self.mesh)
+        rsh = replicated_sharding(self.mesh)
+        replay_sh = bsh if self.replay_states is not None else rsh
+
+        def rollout_fn(behavior_params, env_states, obs, key, rew_coeff,
+                       replay_states):
+            env_states, next_obs, replay_states, traj, _lv, infos = \
+                collect_rollout(env_cfg, dyn_params, model, ppo_cfg,
+                                behavior_params, env_states, obs, key,
+                                rew_coeff, replay_states)
+            return env_states, next_obs, replay_states, traj, infos
+
+        self._rollout_fn = jax.jit(
+            rollout_fn,
+            in_shardings=(rsh, bsh, bsh, rsh, rsh, replay_sh),
+            donate_argnums=(1, 2, 5))
+        # Trajectory arrays are [T, E, ...] — env batch on axis 1.
+        from jax.sharding import NamedSharding, PartitionSpec
+        tsh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        # NOTE: train_state is NOT donated — the behavior queue aliases its
+        # params buffers across iterations.  last_obs (arg 2) is self.obs,
+        # which the next rollout still needs; only the trajectory is donated.
+        self._learn_fn = jax.jit(
+            functools.partial(appo_learn, model, ppo_cfg),
+            in_shardings=(rsh, tsh, bsh, rsh),
+            donate_argnums=(1,))
+        # queue[0] is the behavior version for the next rollout; with lag L
+        # the rollout dispatched at iteration i uses the learner output of
+        # iteration i-1-L (clipped at init).
+        self._param_queue = deque([self.train_state.params],
+                                  maxlen=policy_lag + 1)
+
+    def iteration(self):
+        self.key, k_roll, k_learn = jax.random.split(self.key, 3)
+        rew_coeff = jax.tree.map(
+            lambda x: jnp.asarray(x, self.env_cfg.dtype),
+            self.current_rew_coeff())
+        behavior_params = self._param_queue[0]
+        (self.env_states, self.obs, self.replay_states, traj,
+         infos) = self._rollout_fn(behavior_params, self.env_states, self.obs,
+                                   k_roll, rew_coeff, self.replay_states)
+        self.train_state, metrics = self._learn_fn(
+            self.train_state, traj, self.obs, k_learn)
+        self._param_queue.append(self.train_state.params)
+        self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
+                           * self.env_cfg.num_agents)
+        return metrics, infos

@@ -50,6 +50,10 @@ class PPOConfig:
     reward_clip: float = struct.field(pytree_node=False, default=10.0)
     num_envs: int = struct.field(pytree_node=False, default=64)
     replay_sample_prob: float = struct.field(pytree_node=False, default=0.0)
+    # APPO extras (parallel/appo.py; SF --with_vtrace / V-trace clips)
+    with_vtrace: bool = struct.field(pytree_node=False, default=False)
+    vtrace_rho: float = struct.field(pytree_node=False, default=1.0)
+    vtrace_c: float = struct.field(pytree_node=False, default=1.0)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in
@@ -178,6 +182,16 @@ def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
                                       ppo_cfg.gae_lambda)
 
+    train_state, metrics = sgd_epochs(model, ppo_cfg, train_state, traj,
+                                      advantages, returns, k_perm)
+    metrics["reward_mean"] = jnp.mean(traj.reward)
+    return train_state, env_states, obs, replay_states, metrics, infos
+
+
+def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
+               traj: Transition, advantages, returns, key):
+    """Shuffled minibatch SGD over a flattened [T,E,N] trajectory (the
+    learner half of the iteration; shared by sync PPO and APPO)."""
     t_dim, e_dim, n_dim = traj.reward.shape
     total = t_dim * e_dim * n_dim
     flat = (
@@ -206,13 +220,12 @@ def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
 
         return jax.lax.scan(minibatch, train_state, batched)
 
-    epoch_keys = jax.random.split(k_perm, ppo_cfg.num_epochs)
+    epoch_keys = jax.random.split(key, ppo_cfg.num_epochs)
     metrics_all = None
     for i in range(ppo_cfg.num_epochs):
         train_state, metrics_all = epoch(train_state, epoch_keys[i])
     metrics = jax.tree.map(lambda x: x[-1], metrics_all)
-    metrics["reward_mean"] = jnp.mean(traj.reward)
-    return train_state, env_states, obs, replay_states, metrics, infos
+    return train_state, metrics
 
 
 def make_train_state(model: ActorCritic, ppo_cfg: PPOConfig, key,

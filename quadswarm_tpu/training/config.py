@@ -59,6 +59,9 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
     # Aerodynamics
     p.add_argument("--quads_use_downwash", default=False, type=str2bool)
     # Scenarios
+    # Full scenario-mode surface (quadrotor_params.py:91-97) — including the
+    # four obstacle modes the reference advertises but never implemented
+    # (SURVEY.md §2.3); here they exist (env/scenarios.py MODES).
     p.add_argument("--quads_mode", default="static_same_goal",
                    choices=["static_same_goal", "static_diff_goal",
                             "dynamic_same_goal", "dynamic_diff_goal",
@@ -66,7 +69,9 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
                             "swap_goals", "dynamic_formations", "run_away", "mix",
                             "o_random", "o_dynamic_same_goal",
                             "o_static_same_goal", "o_swap_goals",
-                            "o_ep_rand_bezier", "o_test"])
+                            "o_ep_rand_bezier", "o_uniform_same_goal_spawn",
+                            "o_diagonal", "o_static_diff_goal",
+                            "o_dynamic_diff_goal", "o_test"])
     # Room
     p.add_argument("--quads_room_dims", nargs="+", default=[10.0, 10.0, 10.0],
                    type=float)
@@ -104,6 +109,13 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch_size", default=1024, type=int)
     p.add_argument("--num_epochs", default=1, type=int)
     p.add_argument("--reward_clip", default=10.0, type=float)
+    # APPO (SF --async_rl / --with_vtrace; parallel/appo.py)
+    p.add_argument("--async_rl", default=False, type=str2bool,
+                   help="policy-lag (two-program) APPO trainer")
+    p.add_argument("--policy_lag", default=1, type=int)
+    p.add_argument("--with_vtrace", default=False, type=str2bool)
+    p.add_argument("--vtrace_rho", default=1.0, type=float)
+    p.add_argument("--vtrace_c", default=1.0, type=float)
     p.add_argument("--rnn_size", default=256, type=int)
     p.add_argument("--nonlinearity", default="tanh", type=str)
     p.add_argument("--initial_stddev", default=1.0, type=float)
@@ -203,6 +215,9 @@ def ppo_config_from_args(args) -> "PPOConfig":
         reward_clip=args.reward_clip,
         num_envs=args.num_envs,
         replay_sample_prob=args.replay_buffer_sample_prob,
+        with_vtrace=getattr(args, "with_vtrace", False),
+        vtrace_rho=getattr(args, "vtrace_rho", 1.0),
+        vtrace_c=getattr(args, "vtrace_c", 1.0),
     )
 
 

@@ -58,9 +58,15 @@ def main(argv=None) -> int:
         runner.train(args.train_for_env_steps)
         return 0
 
-    from quadswarm_tpu.parallel.ppo import Trainer
-    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
-                      anneal_schedules=anneal)
+    if getattr(args, "async_rl", False):
+        from quadswarm_tpu.parallel.appo import APPOTrainer
+        trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
+                              anneal_schedules=anneal,
+                              policy_lag=args.policy_lag)
+    else:
+        from quadswarm_tpu.parallel.ppo import Trainer
+        trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
+                          anneal_schedules=anneal)
     cp_dir = checkpoint_dir(args.train_dir, args.experiment)
     cp = latest_checkpoint(cp_dir)
     if cp is not None:

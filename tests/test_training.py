@@ -113,3 +113,66 @@ def test_trainer_with_replay_buffer():
     m, _ = trainer.iteration()
     assert np.isfinite(float(m["loss"]))
     assert trainer.replay_states is not None
+
+
+def test_vtrace_reduces_to_gae_on_policy():
+    """With ratio==1 and rho=c=1, V-trace targets equal GAE(lambda=1)
+    returns (IMPALA paper, remark 1)."""
+    from quadswarm_tpu.parallel.appo import vtrace_advantages
+    from quadswarm_tpu.parallel.ppo import Transition, compute_gae
+    rng = np.random.default_rng(3)
+    t_steps, e, n = 7, 3, 2
+    rewards = rng.normal(size=(t_steps, e, n)).astype(np.float32)
+    values = rng.normal(size=(t_steps, e, n)).astype(np.float32)
+    dones = rng.random((t_steps, e, n)) < 0.25
+    last_value = rng.normal(size=(e, n)).astype(np.float32)
+    traj = Transition(
+        obs=jnp.zeros((t_steps, e, n, 3)), actions=jnp.zeros((t_steps, e, n, 4)),
+        log_prob=jnp.zeros((t_steps, e, n)), value=jnp.asarray(values),
+        reward=jnp.asarray(rewards), done=jnp.asarray(dones))
+    gamma = 0.99
+    gae_adv, gae_ret = compute_gae(traj, jnp.asarray(last_value), gamma, 1.0)
+    ratio = jnp.ones((t_steps, e, n), jnp.float32)
+    vt_adv, vs = vtrace_advantages(ratio, traj.reward, traj.value, traj.done,
+                                   jnp.asarray(last_value), gamma)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(gae_ret),
+                               rtol=1e-5, atol=1e-5)
+    # on-policy pg advantage = one-step TD against vs_{t+1}; equals GAE(1)
+    # advantage only when c-truncation is inactive, so just check vs here and
+    # that the pg advantage matches its definition.
+    vs_next = np.concatenate([np.asarray(vs)[1:], last_value[None]], axis=0)
+    nd = 1.0 - dones.astype(np.float32)
+    expect_adv = rewards + gamma * vs_next * nd - values
+    np.testing.assert_allclose(np.asarray(vt_adv), expect_adv,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_appo_trainer_policy_lag_and_vtrace():
+    """APPO with policy_lag=1 + V-trace trains without diverging; the
+    behavior queue really lags the learner by one update."""
+    from quadswarm_tpu.parallel.appo import APPOTrainer
+    env_cfg, ppo_cfg, model, dyn = _small_setup()
+    ppo_cfg = ppo_cfg.replace(with_vtrace=True)
+    trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=2, policy_lag=1)
+    m1, _ = trainer.iteration()
+    # after one iteration: queue[0] (next behavior) is the INITIAL params,
+    # not the just-updated ones
+    updated = jax.device_get(trainer.train_state.params)
+    behavior = jax.device_get(trainer._param_queue[0])
+    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))),
+                         updated, behavior)
+    assert max(jax.tree.leaves(diffs)) > 0.0, "behavior must lag learner"
+    losses = [float(m1["loss"])]
+    for _ in range(3):
+        m, infos = trainer.iteration()
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert trainer.env_steps == 4 * 8 * 8 * 2
+
+
+def test_appo_lag0_without_vtrace_runs():
+    from quadswarm_tpu.parallel.appo import APPOTrainer
+    env_cfg, ppo_cfg, model, dyn = _small_setup(num_envs=4)
+    trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=4, policy_lag=0)
+    m, _ = trainer.iteration()
+    assert np.isfinite(float(m["loss"]))
