@@ -122,6 +122,9 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_every_sec", default=300, type=int)
     p.add_argument("--log_every_iters", default=10, type=int)
     p.add_argument("--with_wandb", default=False, type=str2bool)
+    p.add_argument("--wandb_project", default="quadswarm-tpu", type=str)
+    p.add_argument("--wandb_user", default=None, type=str)
+    p.add_argument("--wandb_group", default=None, type=str)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     # PBT
     p.add_argument("--with_pbt", default=False, type=str2bool)

@@ -74,7 +74,12 @@ def main(argv=None) -> int:
             cp, trainer.train_state)
         print(f"resumed from {cp} at {trainer.env_steps} env steps")
 
-    logger = MetricLogger(exp_dir, use_wandb=args.with_wandb)
+    logger = MetricLogger(
+        exp_dir, use_wandb=args.with_wandb,
+        wandb_kwargs=dict(project=getattr(args, "wandb_project", None),
+                          entity=getattr(args, "wandb_user", None),
+                          group=getattr(args, "wandb_group", None),
+                          name=args.experiment))
     last_save = time.time()
     it = 0
     t0 = time.time()

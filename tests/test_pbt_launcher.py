@@ -91,3 +91,32 @@ def test_pbt_short_training_run(tmp_path):
     assert runner.total_env_steps >= 128
     assert os.path.exists(os.path.join(str(tmp_path), "p0", "metrics.jsonl"))
     assert os.path.isdir(os.path.join(str(tmp_path), "checkpoint_p0"))
+
+
+RUN_MODULES = [
+    "quad_multi_mix_baseline", "quad_multi_mix_baseline_attn_8",
+    "single_quad_baseline", "single_quad", "pbt_quads_multi_obstacles",
+    "obstacles.quads_multi_obstacles", "obstacles.obst_density_random",
+    "obstacles.obst_size_random", "obstacles.obst_domain_random",
+    "obstacles.quads_multi_obstacles_nei_encoder_search",
+]
+
+
+def test_all_run_descriptions_parse():
+    """Every run description expands to commands whose flags are all
+    accepted by the training CLI parser (reference run-file parity:
+    swarm_rl/runs/** — SURVEY.md §2 #31)."""
+    import importlib
+    import shlex
+
+    from quadswarm_tpu.training.config import parse_swarm_cfg
+
+    for mod_name in RUN_MODULES:
+        mod = importlib.import_module(f"quadswarm_tpu.runs.{mod_name}")
+        rd = mod.RUN_DESCRIPTION
+        cmds = list(rd.commands("/tmp/td"))
+        assert cmds, mod_name
+        for _name, cmd in cmds:
+            argv = shlex.split(cmd)[3:]  # strip "python -m <module>"
+            args = parse_swarm_cfg(argv)
+            assert args.quads_num_agents >= 1, mod_name
