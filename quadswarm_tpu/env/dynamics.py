@@ -200,11 +200,18 @@ def _floor_interaction(params: Any, cfg: DynamicsConfig, pos, vel, rot, omega,
     # --- Case A: friction ---------------------------------------------------
     friction_mag = cfg.mu * (params.mass * GRAV - force[..., 2])
     vel_norm = jnp.linalg.norm(vel, axis=-1)
-    # Static-ish branch (reference: vel == 0 / < EPS): shrink xy force toward 0.
+    # Static-ish branch (reference numba path: norm(vel) < EPS, :586-597).
+    # NOTE the reference does NOT clamp friction_mag at 0: with thrust >
+    # weight on the floor, friction_mag < 0 so static_mag > 0 even for a
+    # zero xy force, and arctan2(0, 0) = 0 aims the resulting phantom force
+    # along +x.  Replicated exactly for seed-matched parity.
     force_xy_mag = jnp.linalg.norm(force[..., :2], axis=-1)
     static_mag = jnp.maximum(force_xy_mag - friction_mag, 0.0)
-    static_scale = jnp.where(force_xy_mag > EPS, static_mag / jnp.maximum(force_xy_mag, EPS), 0.0)
-    force_static = force.at[..., :2].multiply(static_scale[..., None])
+    force_angle = jnp.arctan2(force[..., 1], force[..., 0])
+    static_dir = jnp.stack([jnp.cos(force_angle), jnp.sin(force_angle)], axis=-1)
+    static_xy = jnp.where((static_mag == 0.0)[..., None], 0.0,
+                          static_mag[..., None] * static_dir)
+    force_static = jnp.concatenate([static_xy, force[..., 2:]], axis=-1)
     # Kinetic branch: friction opposes velocity direction.
     fr_angle = jnp.arctan2(-vel[..., 1], -vel[..., 0])
     fr_dir = jnp.stack([jnp.cos(fr_angle), jnp.sin(fr_angle)], axis=-1)

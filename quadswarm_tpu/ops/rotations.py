@@ -66,7 +66,10 @@ def rodrigues(omega_world: jax.Array, dt: float | jax.Array) -> jax.Array:
     angular-velocity norm is zero the update is the identity.
     """
     norm = jnp.linalg.norm(omega_world, axis=-1)
-    safe = jnp.maximum(norm, EPS)
+    # Divide by the EXACT norm whenever nonzero (the reference's `if
+    # omega_norm != 0`, :301) — clamping to EPS here would mis-scale the
+    # rotation axis for tiny omega and break seed-matched parity.
+    safe = jnp.where(norm > 0.0, norm, 1.0)
     k = hat(omega_world / safe[..., None])
     angle = (norm * dt)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega_world.dtype), k.shape)

@@ -78,18 +78,21 @@ def oracle_substep(p, s, thrust_cmds, thrust_noise, dt, room_lo, room_hi,
         flat = np.array([[c, -q, 0.0], [q, c, 0.0], [0.0, 0.0, 1.0]])
         if s["on_floor"]:
             s["rot"] = flat
+            # numba/training-path semantics (floor_interaction_numba:583-604):
+            # fr_mag is NOT clamped at 0 (phantom force when thrust > weight,
+            # direction arctan2(0,0)=+x), kinetic friction opposes velocity.
             fr_mag = mu * (p["mass"] * GRAV - force[2])
             if np.linalg.norm(s["vel"]) < EPS:
                 fxy = np.linalg.norm(force[:2])
                 new_mag = max(fxy - fr_mag, 0.0)
-                if fxy > EPS and new_mag > 0.0:
+                if new_mag == 0.0:
+                    force[0] = force[1] = 0.0
+                else:
                     ang = np.arctan2(force[1], force[0])
                     force[0] = new_mag * np.cos(ang)
                     force[1] = new_mag * np.sin(ang)
-                else:
-                    force[0] = force[1] = 0.0
             else:
-                ang = np.arctan2(-s["vel"][1], -s["vel"][0])
+                ang = np.arctan2(s["vel"][1], s["vel"][0])
                 force[0] -= np.cos(ang) * fr_mag
                 force[1] -= np.sin(ang) * fr_mag
         else:
