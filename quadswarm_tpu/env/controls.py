@@ -105,15 +105,14 @@ def mellinger_control(j_inv: jax.Array, pos: jax.Array, vel: jax.Array,
     Returns normalized thrusts in [0,1].
     """
     to_goal = goal - pos
-    e_p = -jnp.clip(
-        to_goal,
-        -4.0 * jnp.ones_like(to_goal),
-        4.0 * jnp.ones_like(to_goal),
-    )
+    # clamp_norm (quad_utils.py:112-116): scale the whole vector so its NORM
+    # is <= 4 (not a per-component clip)
+    gnorm = jnp.linalg.norm(to_goal, axis=-1, keepdims=True)
+    e_p = -jnp.where(gnorm <= 4.0, to_goal, to_goal * (4.0 / gnorm))
     e_v = vel
     acc_des = -kp_p * e_p - kd_p * e_v + jnp.array([0.0, 0.0, GRAV], pos.dtype)
 
-    # Desired frame: z along acc_des, x toward goal projected
+    # Desired frame: z along acc_des, x along the (fixed) reference heading
     zb_des, _ = normalize(acc_des)
     xc_des = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], pos.dtype), pos.shape)
     yb_des, _ = normalize(jnp.cross(zb_des, xc_des))
@@ -121,6 +120,7 @@ def mellinger_control(j_inv: jax.Array, pos: jax.Array, vel: jax.Array,
     rot_des = jnp.stack([xb_des, yb_des, zb_des], axis=-1)
 
     e_r = 0.5 * _vee(jnp.swapaxes(rot_des, -1, -2) @ rot - jnp.swapaxes(rot, -1, -2) @ rot_des)
+    e_r = e_r.at[..., 2].multiply(0.2)  # slow down yaw dynamics (:315)
     dw_des = -kp_a * e_r - kd_a * omega
     thrust_mag = jnp.sum(acc_des * rot[..., :, 2], axis=-1, keepdims=True)
     des = jnp.concatenate([thrust_mag, dw_des], axis=-1)

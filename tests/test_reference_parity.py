@@ -195,3 +195,74 @@ def test_ceiling_crash_flag_matches_reference(ref):
     # long horizon crosses the re-orthonormalization event (:308-314):
     # reference uses SVD, we use a Newton polar iteration — equal to ~1e-9
     assert_matches_reference(d, s, atol=1e-8)
+
+
+def _random_rotation(rng):
+    from scipy.spatial.transform import Rotation
+    return Rotation.random(random_state=rng).as_matrix()
+
+
+@pytest.fixture(scope="module")
+def ref_controls(ref):
+    """Reference controller module (stub tensorflow: NonlinearPositionController
+    unconditionally imports it in __init__ even for the numpy branch, :256)."""
+    import sys
+    import types as _t
+    sys.modules.setdefault("tensorflow", _t.ModuleType("tensorflow"))
+    from gym_art.quadrotor_multi import quadrotor_control
+    return quadrotor_control
+
+
+def test_mellinger_controller_matches_reference(ref, ref_controls):
+    """Mellinger oracle (NonlinearPositionController numpy branch, :281-331)
+    vs our mellinger_control on random states: thrusts must match."""
+    from quadswarm_tpu.env.controls import jacobian_inv, mellinger_control
+
+    rng = np.random.default_rng(7)
+    d = make_ref_dynamics(ref)
+    ctrl = ref_controls.NonlinearPositionController(d, tf_control=False)
+    params, _, jp = make_jax_side()
+    j_inv = jacobian_inv(jp)
+    np.testing.assert_allclose(np.asarray(j_inv), ctrl.Jinv, rtol=1e-9,
+                               atol=1e-12)
+
+    for _ in range(10):
+        pos = rng.uniform(-3, 3, size=3)
+        vel = rng.uniform(-2, 2, size=3)
+        rot = _random_rotation(rng)
+        omega = np.float64(np.float32(rng.uniform(-3, 3, size=3)))
+        goal = rng.uniform(-3, 3, size=3)
+        d.set_state(pos, vel, rot, omega)
+        ctrl.step(d, goal, 1.0 / 100.0)
+        ours = mellinger_control(j_inv, jnp.asarray(pos), jnp.asarray(vel),
+                                 jnp.asarray(rot), jnp.asarray(omega),
+                                 jnp.asarray(goal))
+        # small EPS-guard differences in normalize() leave ~1e-8 residuals
+        np.testing.assert_allclose(np.asarray(ours), ctrl.action,
+                                   rtol=1e-6, atol=5e-8)
+
+
+def test_omega_thrust_controller_matches_reference(ref, ref_controls):
+    from quadswarm_tpu.env.controls import jacobian_inv, omega_thrust_control
+
+    rng = np.random.default_rng(8)
+    d = make_ref_dynamics(ref)
+    ctrl = ref_controls.OmegaThrustControl(d)
+    _, _, jp = make_jax_side()
+    j_inv = jacobian_inv(jp)
+    for _ in range(10):
+        omega = np.float64(np.float32(rng.uniform(-5, 5, size=3)))
+        action = rng.uniform(-1, 1, size=4)
+        d.set_state(np.zeros(3) + [0, 0, 2.0], np.zeros(3), np.eye(3), omega)
+        ctrl.step(d, action.copy(), 1.0 / 100.0)
+        # reference mutates dynamics but stores no action; recompute its
+        # closed form directly (:191-199)
+        dw_des = -5.0 * (omega - action[1:])
+        des = np.append(GRAV_REF * (action[0] + 1.0), dw_des)
+        expect = np.clip(ctrl.Jinv @ des, 0.0, 1.0)
+        ours = omega_thrust_control(j_inv, jnp.asarray(omega), jnp.asarray(action))
+        np.testing.assert_allclose(np.asarray(ours), expect, rtol=1e-7,
+                                   atol=1e-10)
+
+
+GRAV_REF = 9.81
