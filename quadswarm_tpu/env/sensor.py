@@ -36,6 +36,22 @@ class SensorNoiseParams:
     bypass: bool = struct.field(pytree_node=False, default=False)
 
 
+def apply_noise(params: SensorNoiseParams, pos, vel, rot, omega, acc,
+                pos_noise, vel_noise, omega_noise, theta, acc_noise):
+    """Deterministic half of the noise model: apply PRE-SAMPLED noise vectors
+    exactly like the reference's add_noise arithmetic (sensor_noise.py:
+    126-169).  Split out so parity tests can inject the reference's recorded
+    noise tape (tests/test_reference_parity.py) and so the sampling backend
+    (host np.random there, jax.random here) is interchangeable."""
+    noisy_pos = pos + pos_noise
+    noisy_vel = vel + vel_noise
+    noisy_omega = omega + omega_noise
+    quat = rot2quat(rot)
+    noisy_rot = quat2rot(quat_mul(quat, quat_from_small_angle(theta)))
+    noisy_acc = acc + acc_noise
+    return noisy_pos, noisy_vel, noisy_rot, noisy_omega, noisy_acc
+
+
 def add_noise(params: SensorNoiseParams, key: jax.Array,
               pos: jax.Array, vel: jax.Array, rot: jax.Array,
               omega: jax.Array, acc: jax.Array, dt: float,
@@ -52,7 +68,7 @@ def add_noise(params: SensorNoiseParams, key: jax.Array,
         return pos, vel, rot, omega, acc, gyro_bias
 
     batch = pos.shape[:-1]
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 10)
     dtype = pos.dtype
 
     def gauss(k, std):
@@ -61,8 +77,8 @@ def add_noise(params: SensorNoiseParams, key: jax.Array,
     def unif(k, rng):
         return jax.random.uniform(k, batch + (3,), dtype, -rng, rng)
 
-    noisy_pos = pos + gauss(keys[0], params.pos_norm_std) + unif(keys[1], params.pos_unif_range)
-    noisy_vel = vel + gauss(keys[2], params.vel_norm_std) + unif(keys[3], params.vel_unif_range)
+    pos_noise = gauss(keys[0], params.pos_norm_std) + unif(keys[1], params.pos_unif_range)
+    vel_noise = gauss(keys[2], params.vel_norm_std) + unif(keys[3], params.vel_unif_range)
 
     if params.gyro_norm_std != 0.0 and gyro_bias is not None:
         # RotorS IMU random-walk bias model (sensor_noise.py:221-231)
@@ -72,22 +88,21 @@ def add_noise(params: SensorNoiseParams, key: jax.Array,
         pi_g_d = jnp.exp(-dt / tau)
         gyro_bias = pi_g_d * gyro_bias + sigma_b_g_d * jax.random.normal(
             keys[4], batch + (3,), dtype)
-        noisy_omega = omega + gyro_bias + params.gyro_random_walk * jax.random.normal(
+        omega_noise = gyro_bias + params.gyro_random_walk * jax.random.normal(
             keys[5], batch + (3,), dtype)
     else:
-        noisy_omega = omega + gauss(keys[4], params.gyro_noise_density)
+        omega_noise = gauss(keys[4], params.gyro_noise_density)
 
     # Rotation noise: small-angle quaternion perturbation
     theta = (params.quat_norm_std * jax.random.normal(keys[6], batch + (3,), dtype)
              + jax.random.uniform(keys[7], batch + (3,), dtype,
                                   -params.quat_unif_range, params.quat_unif_range))
-    quat = rot2quat(rot)
-    noisy_rot = quat2rot(quat_mul(quat, quat_from_small_angle(theta)))
 
-    acc_keys = jax.random.split(keys[5], 2)
-    noisy_acc = (acc
-                 + gauss(acc_keys[0], params.acc_static_noise_std)
+    acc_noise = (gauss(keys[8], params.acc_static_noise_std)
                  + acc * (params.acc_dynamic_noise_ratio
-                          * jax.random.normal(acc_keys[1], batch + (3,), dtype)))
+                          * jax.random.normal(keys[9], batch + (3,), dtype)))
 
+    noisy_pos, noisy_vel, noisy_rot, noisy_omega, noisy_acc = apply_noise(
+        params, pos, vel, rot, omega, acc,
+        pos_noise, vel_noise, omega_noise, theta, acc_noise)
     return noisy_pos, noisy_vel, noisy_rot, noisy_omega, noisy_acc, gyro_bias

@@ -266,3 +266,60 @@ def test_omega_thrust_controller_matches_reference(ref, ref_controls):
 
 
 GRAV_REF = 9.81
+
+
+def test_sensor_noise_matches_reference(ref):
+    """SensorNoise.add_noise (sensor_noise.py:112-170) vs our apply_noise
+    with the reference's recorded noise tape injected: the deterministic
+    transform (additive noise + small-angle quaternion rotation perturbation
+    via rot2quat/quatXquat/quat2R) must match."""
+    import gym_art.quadrotor_multi.sensor_noise as sn_mod
+
+    from quadswarm_tpu.env.sensor import SensorNoiseParams, apply_noise
+
+    rng = np.random.default_rng(11)
+    tape = []
+
+    def fake_normal(loc=0.0, scale=1.0, size=None):
+        out = loc + scale * rng.standard_normal(size)
+        tape.append(np.asarray(out, float))
+        return out
+
+    def fake_uniform(low=0.0, high=1.0, size=None):
+        out = rng.uniform(low, high, size)
+        tape.append(np.asarray(out, float))
+        return out
+
+    sn = sn_mod.SensorNoise(quat_norm_std=0.05, quat_unif_range=0.02)
+    params = SensorNoiseParams(quat_norm_std=0.05, quat_unif_range=0.02)
+
+    orig = (sn_mod.normal, sn_mod.uniform)
+    sn_mod.normal, sn_mod.uniform = fake_normal, fake_uniform
+    try:
+        for _ in range(5):
+            tape.clear()
+            pos = rng.uniform(-3, 3, size=3)
+            vel = rng.uniform(-2, 2, size=3)
+            rot = _random_rotation(rng)
+            omega = rng.uniform(-3, 3, size=3)
+            acc = rng.uniform(-5, 5, size=3)
+            r_pos, r_vel, r_rot, r_omega, r_acc = sn.add_noise(
+                pos, vel, rot, omega, acc, DT)
+            # draw order: pos_g, pos_u, vel_g, vel_u, omega_g, theta_g,
+            # theta_u, acc_static_g, acc_dynamic_g      (:126-169)
+            assert len(tape) == 9, len(tape)
+            o_pos, o_vel, o_rot, o_omega, o_acc = apply_noise(
+                params, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(rot),
+                jnp.asarray(omega), jnp.asarray(acc),
+                pos_noise=jnp.asarray(tape[0] + tape[1]),
+                vel_noise=jnp.asarray(tape[2] + tape[3]),
+                omega_noise=jnp.asarray(tape[4]),
+                theta=jnp.asarray(tape[5] + tape[6]),
+                acc_noise=jnp.asarray(tape[7] + acc * tape[8]))
+            np.testing.assert_allclose(np.asarray(o_pos), r_pos, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(o_vel), r_vel, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(o_rot), r_rot, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(o_omega), r_omega, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(o_acc), r_acc, atol=1e-12)
+    finally:
+        sn_mod.normal, sn_mod.uniform = orig
