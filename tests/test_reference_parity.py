@@ -323,3 +323,46 @@ def test_sensor_noise_matches_reference(ref):
             np.testing.assert_allclose(np.asarray(o_acc), r_acc, atol=1e-12)
     finally:
         sn_mod.normal, sn_mod.uniform = orig
+
+
+def test_ou_thrust_noise_matches_reference(ref):
+    """OUNoise (quad_utils.py:253-279, sigma = 0.2 * thrust_noise_ratio per
+    quadrotor_dynamics.py:168-173) vs ou_noise_step with injected normals."""
+    import numpy.random as nr
+
+    import gym_art.quadrotor_multi.quad_utils as qu_mod
+
+    from quadswarm_tpu.env.dynamics import ou_noise_step
+
+    rng = np.random.default_rng(13)
+    tape = []
+
+    def fake_randn(n):
+        out = rng.standard_normal(n)
+        tape.append(out)
+        return out
+
+    ratio = 0.05
+    ou = qu_mod.OUNoise(4, sigma=0.2 * ratio)
+    orig = qu_mod.nr.randn
+    qu_mod.nr.randn = fake_randn
+    try:
+        state = jnp.zeros(4, jnp.float64)
+        for _ in range(20):
+            ref_out = ou.noise()
+            draws = tape[-1]
+            # re-derive with the injected draw: dx = theta*(mu-x)+sigma*z
+            sigma = 0.2 * ratio
+            state = state + 0.15 * (0.0 - state) + sigma * jnp.asarray(draws)
+            np.testing.assert_allclose(np.asarray(state), ref_out, atol=1e-14)
+    finally:
+        qu_mod.nr.randn = orig
+    # and the jitted kernel computes the same recursion for a fixed draw
+    z = jnp.asarray(tape[0])
+    s0 = jnp.zeros(4, jnp.float64)
+    import unittest.mock as mock
+    with mock.patch("jax.random.normal", return_value=z):
+        out = ou_noise_step(s0, jax.random.PRNGKey(0), jnp.asarray(ratio))
+    np.testing.assert_allclose(np.asarray(out),
+                               0.15 * (0.0 - np.zeros(4)) + 0.2 * ratio * np.asarray(z),
+                               atol=1e-14)
