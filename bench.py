@@ -21,14 +21,16 @@ BASELINE_SPS_8_QUADS = 62_042.0  # reference paper/fps_compare.py:7-8
 
 
 def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
-          warmup_blocks: int = 2, blocks: int = 5) -> dict:
-    from quadswarm_tpu.env.multi import EnvConfig, env_reset, env_step
+          warmup_blocks: int = 2, blocks: int = 5,
+          use_pallas: bool = False) -> dict:
+    from quadswarm_tpu.env.multi import EnvConfig, batched_env_step, env_reset
     from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
 
     env_cfg = EnvConfig(
         num_agents=num_agents, neighbor_obs_type="pos_vel",
         neighbor_visible_num=min(6, num_agents - 1) if num_agents > 1 else 0,
         quads_mode="mix" if num_agents > 1 else "static_same_goal",
+        use_pallas_dynamics=use_pallas,
         dtype=jnp.float32)
     dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(np.float32)
 
@@ -45,27 +47,36 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
             actions = jax.random.uniform(
                 ka, (num_envs, num_agents, 4), jnp.float32, -1.0, 1.0)
             env_keys = jax.random.split(ke, num_envs)
-            states, _, rew, _, _ = jax.vmap(
-                lambda s, a, kk: env_step(env_cfg, dyn, s, a, kk)
-            )(states, actions, env_keys)
+            states, _, rew, _, _ = batched_env_step(
+                env_cfg, dyn, states, actions, env_keys)
             return states, jnp.sum(rew)
 
         keys = jax.random.split(key, block)
         states, rews = jax.lax.scan(body, states, keys)
         return states, jnp.sum(rews)
 
-    # Warmup (compile + first blocks)
+    # Warmup (compile + first blocks).  Sync via an actual host transfer —
+    # under the hosted-TPU tunnel, block_until_ready returns before the
+    # device finishes, so float() (device->host) is the only honest barrier.
     for i in range(warmup_blocks):
         key, bk = jax.random.split(key)
         states, r = run_block(states, bk)
-    jax.block_until_ready(r)
+    float(r)
 
-    t0 = time.perf_counter()
-    for i in range(blocks):
-        key, bk = jax.random.split(key)
-        states, r = run_block(states, bk)
-    jax.block_until_ready(r)
-    elapsed = time.perf_counter() - t0
+    def timed(n, states, key):
+        t0 = time.perf_counter()
+        r = None
+        for i in range(n):
+            key, bk = jax.random.split(key)
+            states, r = run_block(states, bk)
+        float(r)  # host transfer = real device barrier
+        return time.perf_counter() - t0
+
+    # Delta method: subtracts the fixed host<->device roundtrip latency
+    # (~90 ms over the tunnel) so only device compute is counted.
+    t_short = timed(1, states, key)
+    t_long = timed(1 + blocks, states, key)
+    elapsed = max(t_long - t_short, 1e-9)
 
     agent_steps = num_envs * num_agents * block * blocks
     sps = agent_steps / elapsed
@@ -85,6 +96,8 @@ if __name__ == "__main__":
     p.add_argument("--num_agents", type=int, default=8)
     p.add_argument("--block", type=int, default=100)
     p.add_argument("--blocks", type=int, default=5)
+    p.add_argument("--pallas", action="store_true",
+                   help="integrate dynamics with the fused Pallas kernel")
     p.add_argument("--sweep", action="store_true",
                    help="report SPS at N=1/8/32/128 agents (the reference's "
                         "fps_compare.py grid); one JSON line per N to stderr, "
@@ -99,7 +112,7 @@ if __name__ == "__main__":
             # keep total per-step work comparable: fewer envs for big swarms
             envs = max(64, args.num_envs * 8 // max(8, n))
             r = bench(num_envs=envs, num_agents=n, block=args.block,
-                      blocks=args.blocks)
+                      blocks=args.blocks, use_pallas=args.pallas)
             r["vs_baseline"] = round(r["value"] / REFERENCE_SPS[n], 2)
             r["vs_pybullet"] = round(r["value"] / PYBULLET_SPS[n], 2)
             print(json.dumps(r), file=sys.stderr)
@@ -108,5 +121,6 @@ if __name__ == "__main__":
         print(json.dumps(headline))
     else:
         result = bench(num_envs=args.num_envs, num_agents=args.num_agents,
-                       block=args.block, blocks=args.blocks)
+                       block=args.block, blocks=args.blocks,
+                       use_pallas=args.pallas)
         print(json.dumps(result))

@@ -74,6 +74,11 @@ class EnvConfig:
     init_random_state: bool = struct.field(pytree_node=False, default=False)
     use_sensor_noise: bool = struct.field(pytree_node=False, default=True)
     apply_collision_force: bool = struct.field(pytree_node=False, default=True)
+    # Use the fused Pallas dynamics kernel (ops/pallas/dynamics_kernel.py) in
+    # batched_env_step: all envs' drones integrate in ONE VMEM-resident kernel
+    # instead of ~100 small XLA ops.  Requires shared (non-per-drone) params;
+    # parity vs the XLA path is tested in tests/test_pallas_dynamics.py.
+    use_pallas_dynamics: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
     # ------------------------------------------------------------------ derived
@@ -154,7 +159,7 @@ class EnvConfig:
                      self.use_downwash, self.quads_mode, self.control_mode,
                      self.zero_action_middle, self.init_random_state,
                      self.use_sensor_noise, self.apply_collision_force,
-                     str(self.dtype)))
+                     self.use_pallas_dynamics, str(self.dtype)))
 
     def __eq__(self, other):
         return isinstance(other, EnvConfig) and hash(self) == hash(other)
@@ -342,10 +347,32 @@ def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
     return state.replace(gyro_bias=gyro_bias), obs
 
 
+def _control_thrusts(cfg: EnvConfig, params: Any, state: EnvState,
+                     actions: jax.Array, goals: jax.Array) -> jax.Array:
+    """Stage 1a of env_step: policy action -> normalized motor thrusts."""
+    dtype = cfg.dtype
+    j_inv = None
+    if cfg.control_mode in ("omega", "velocity_yaw", "mellinger"):
+        from quadswarm_tpu.env.controls import jacobian_inv
+        j_inv = (jax.vmap(jacobian_inv)(params) if _per_drone(params)
+                 else jacobian_inv(params)).astype(dtype)
+    return apply_control(cfg.control_mode, actions.astype(dtype),
+                         j_inv=j_inv, state=state.dyn, goal=goals,
+                         zero_action_middle=cfg.zero_action_middle)
+
+
 def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
-             key: jax.Array):
+             key: jax.Array, auto_reset: bool = True, dyn_override=None):
     """One control tick for the whole swarm.  Returns
-    (state', obs, rewards (N,), dones (N,), info dict)."""
+    (state', obs, rewards (N,), dones (N,), info dict).
+
+    auto_reset (static): when True, a finished episode's state is replaced by
+    a fresh `env_reset` via masked select — convenient for a single stateful
+    env, but under `vmap` the reset branch is computed EVERY step for EVERY
+    env (vmapped select evaluates both sides), which costs as much as the
+    whole step.  Batched rollouts should use `batched_env_step`, which runs
+    the reset under a top-level `lax.cond` so it only executes on the ~1/1500
+    ticks where an episode actually ends."""
     n = cfg.num_agents
     dtype = cfg.dtype
     keys = jax.random.split(key, 10)
@@ -353,23 +380,22 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     goals = state.scenario.goals
 
     # ---- 1. Per-drone control + dynamics (quadrotor_single._step) ----------
-    j_inv = None
-    if cfg.control_mode in ("omega", "velocity_yaw", "mellinger"):
-        from quadswarm_tpu.env.controls import jacobian_inv
-        j_inv = (jax.vmap(jacobian_inv)(params) if _per_drone(params)
-                 else jacobian_inv(params)).astype(dtype)
-    thrust_cmds = apply_control(cfg.control_mode, actions.astype(dtype),
-                                j_inv=j_inv, state=state.dyn, goal=goals,
-                                zero_action_middle=cfg.zero_action_middle)
-    dyn_keys = jax.random.split(keys[0], n)
-    if _per_drone(params):
-        # Domain-randomized fleets: params carry a leading per-drone axis
-        # (DynamicsParams.stack), mapped alongside the drone states.
-        dyn = jax.vmap(lambda p, s, t, k: dynamics_step(p, dyn_cfg, s, t, k))(
-            params, state.dyn, thrust_cmds, dyn_keys)
+    if dyn_override is not None:
+        # batched_env_step already integrated the whole fleet (fused Pallas
+        # kernel over envs x agents); keys[0] is left unconsumed on purpose —
+        # the batched path re-derives the identical per-drone keys from it.
+        dyn = dyn_override
     else:
-        dyn = jax.vmap(lambda s, t, k: dynamics_step(params, dyn_cfg, s, t, k))(
-            state.dyn, thrust_cmds, dyn_keys)
+        thrust_cmds = _control_thrusts(cfg, params, state, actions, goals)
+        dyn_keys = jax.random.split(keys[0], n)
+        if _per_drone(params):
+            # Domain-randomized fleets: params carry a leading per-drone axis
+            # (DynamicsParams.stack), mapped alongside the drone states.
+            dyn = jax.vmap(lambda p, s, t, k: dynamics_step(p, dyn_cfg, s, t, k))(
+                params, state.dyn, thrust_cmds, dyn_keys)
+        else:
+            dyn = jax.vmap(lambda s, t, k: dynamics_step(params, dyn_cfg, s, t, k))(
+                state.dyn, thrust_cmds, dyn_keys)
 
     time_remain = cfg.ep_len - state.tick
     rewards, rew_info = compute_reward(
@@ -479,7 +505,12 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
         vel, omega = coll.drone_collision_response(
             keys[2], dyn.pos, vel, omega, new_pairs)
         if cfg.use_obstacles:
-            hit_obst_pos = state.obst_pos[obst_idx]
+            # one-hot select, not a gather (see collisions.py note on TPU
+            # gather cost); each row has exactly one hit
+            hit_hot = obst_idx[:, None] == jnp.arange(state.obst_pos.shape[0])
+            hit_obst_pos = jnp.sum(
+                jnp.where(hit_hot[..., None], state.obst_pos[None, :, :], 0.0),
+                axis=1)
             vel, omega = coll.obstacle_collision_response(
                 keys[3], dyn.pos, vel, omega, hit_obst_pos, state.obst_size,
                 curr_obst)
@@ -493,7 +524,8 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     n_cells = cfg.num_obstacle_cells
     centers = state.obst_pos[:, :2]
     scen = scenario_step(cfg.scenario_config(), state.scenario, tick, keys[6],
-                         state.obst_active, centers)
+                         state.obst_active, centers,
+                         allowed_modes=cfg.mode_list())
 
     # ---- 6. Observations ------------------------------------------------------
     obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias, keys[7],
@@ -547,15 +579,90 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     info["rewards/rew_quadcol_obstacle"] = rew_quadcol_obst
     info["rewards/rewraw_quadcol_obstacle"] = rew_obst_raw
 
-    reset_state, reset_obs = env_reset(
-        cfg, params, keys[8], rew_coeff=state.rew_coeff,
-        obst_density=state.obst_density, obst_size=state.obst_size)
-    new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
-                             reset_state, new_state)
-    obs = jnp.where(done, reset_obs, obs)
+    if auto_reset:
+        reset_state, reset_obs = env_reset(
+            cfg, params, keys[8], rew_coeff=state.rew_coeff,
+            obst_density=state.obst_density, obst_size=state.obst_size)
+        new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
+                                 reset_state, new_state)
+        obs = jnp.where(done, reset_obs, obs)
 
     dones = jnp.broadcast_to(done, (n,))
     return new_state, obs, rewards, dones, info
+
+
+def _select_done(done_env: jax.Array, reset_tree, keep_tree):
+    """Per-env select: done_env (E,) broadcast against each leaf (E, ...)."""
+    def sel(a, b):
+        mask = done_env.reshape(done_env.shape + (1,) * (a.ndim - 1))
+        return jnp.where(mask, a, b)
+    return jax.tree.map(sel, reset_tree, keep_tree)
+
+
+def _pallas_fleet_dynamics(cfg: EnvConfig, params: Any, states: EnvState,
+                           actions: jax.Array, keys: jax.Array) -> DroneState:
+    """Integrate ALL envs' drones in one fused Pallas kernel call.
+
+    Consumes PRNG keys exactly as the per-env path does (env_step splits each
+    env key into 10, dyn keys come from keys[0] split per agent), so the OU
+    thrust noise and crash-yaw draws are bit-identical to the XLA path.
+    """
+    from quadswarm_tpu.ops.pallas.dynamics_kernel import dynamics_step_flat
+
+    e, n = actions.shape[0], cfg.num_agents
+    goals = states.scenario.goals
+    thrust = jax.vmap(
+        lambda s, a, g: _control_thrusts(cfg, params, s, a, g)
+    )(states, actions, goals)
+    dyn_keys = jax.vmap(
+        lambda k: jax.random.split(jax.random.split(k, 10)[0], n)
+    )(keys)                                               # (E, N, key)
+    flat = lambda x: x.reshape((e * n,) + x.shape[2:])
+    dyn_flat = jax.tree.map(flat, states.dyn)
+    out = dynamics_step_flat(params, cfg.dynamics_config(), dyn_flat,
+                             flat(thrust),
+                             dyn_keys.reshape((e * n,) + dyn_keys.shape[2:]))
+    return jax.tree.map(lambda x: x.reshape((e, n) + x.shape[1:]), out)
+
+
+def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,
+                     actions: jax.Array, keys: jax.Array):
+    """Vmapped env_step with CONDITIONAL auto-reset.
+
+    The reference auto-resets inside step (quadrotor_multi.py:720-722); the
+    naive batched translation evaluates the full reset path (formation
+    generation, obstacle sampling, argsorts) every tick for every env, which
+    measures as ~100% of the step cost on TPU.  Here the vmapped reset runs
+    under `lax.cond(any(done))` — XLA executes the branch only on ticks where
+    an episode ends (episodes are fixed-length, so this is ~1 tick in
+    ep_len), leaving the hot path pure physics/interactions.
+    """
+    if cfg.use_pallas_dynamics and not _per_drone(params):
+        dyn = _pallas_fleet_dynamics(cfg, params, states, actions, keys)
+        new_states, obs, rew, dones, info = jax.vmap(
+            lambda s, a, k, d: env_step(cfg, params, s, a, k,
+                                        auto_reset=False, dyn_override=d)
+        )(states, actions, keys, dyn)
+    else:
+        new_states, obs, rew, dones, info = jax.vmap(
+            lambda s, a, k: env_step(cfg, params, s, a, k, auto_reset=False)
+        )(states, actions, keys)
+    done_env = jnp.any(dones, axis=-1)
+    reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+
+    def do_reset(args):
+        new_states, obs = args
+        reset_states, reset_obs = jax.vmap(
+            lambda k, s: env_reset(cfg, params, k, rew_coeff=s.rew_coeff,
+                                   obst_density=s.obst_density,
+                                   obst_size=s.obst_size)
+        )(reset_keys, new_states)
+        return (_select_done(done_env, reset_states, new_states),
+                _select_done(done_env, reset_obs, obs))
+
+    new_states, obs = jax.lax.cond(jnp.any(done_env), do_reset,
+                                   lambda args: args, (new_states, obs))
+    return new_states, obs, rew, dones, info
 
 
 def _episode_stats(cfg: EnvConfig, s: EnvState, done) -> dict:

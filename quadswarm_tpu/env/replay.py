@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from quadswarm_tpu.env.multi import (
-    EnvConfig, EnvState, _compute_obs, env_reset, env_step,
+    EnvConfig, EnvState, _compute_obs, _select_done, env_reset, env_step,
 )
 
 CP_STEP_SEC = 0.5            # checkpoint cadence (ReplayBuffer cp_step_size)
@@ -94,11 +94,18 @@ def _write_slot_if(cond, ring, idx, item):
 
 def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
                 state: EnvState, rstate: ReplayState, actions: jax.Array,
-                key: jax.Array):
-    """env_step + the experience-replay wrapper logic for one env."""
+                key: jax.Array, auto_reset: bool = True):
+    """env_step + the experience-replay wrapper logic for one env.
+
+    With auto_reset=False (used by `batched_replay_step`), done episodes that
+    do NOT replay a buffered state are left in their terminal state and
+    flagged via info["replay/did_replay"]; the batched wrapper fresh-resets
+    them under a lax.cond so the expensive reset path runs only on
+    episode-boundary ticks (see multi.batched_env_step)."""
     k_env, k_sample, k_choice, k_obs = jax.random.split(key, 4)
     pre_tick = state.tick
-    new_state, obs, rew, dones, info = env_step(cfg, params, state, actions, k_env)
+    new_state, obs, rew, dones, info = env_step(cfg, params, state, actions,
+                                                k_env, auto_reset=auto_reset)
     done = dones[0]
     cp_freq = jnp.int32(CP_STEP_SEC * cfg.control_freq)
     grace = jnp.int32(1.5 * cfg.control_freq)
@@ -188,4 +195,36 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
                                   / jnp.maximum(episode_count, 1))
     info["replay/replay_buffer_size"] = buffer_count
     info["replay/activated"] = activated
+    if not auto_reset:
+        info["replay/did_replay"] = do_replay
     return out_state, new_rstate, obs, rew, dones, info
+
+
+def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
+                        states: EnvState, rstates: ReplayState,
+                        actions: jax.Array, keys: jax.Array):
+    """Vmapped replay_step with CONDITIONAL fresh-reset (the replay-sampled
+    resets are cheap state selects and stay in the hot path; only the full
+    env_reset for non-replayed episode ends is gated on lax.cond)."""
+    out_states, out_rstates, obs, rew, dones, info = jax.vmap(
+        lambda s, r, a, k: replay_step(cfg, params, sample_prob, s, r, a, k,
+                                       auto_reset=False)
+    )(states, rstates, actions, keys)
+    did_replay = info.pop("replay/did_replay")
+    done_env = jnp.any(dones, axis=-1)
+    needs_reset = done_env & ~did_replay
+    reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+
+    def do_reset(args):
+        out_states, obs = args
+        reset_states, reset_obs = jax.vmap(
+            lambda k, s: env_reset(cfg, params, k, rew_coeff=s.rew_coeff,
+                                   obst_density=s.obst_density,
+                                   obst_size=s.obst_size)
+        )(reset_keys, out_states)
+        return (_select_done(needs_reset, reset_states, out_states),
+                _select_done(needs_reset, reset_obs, obs))
+
+    out_states, obs = jax.lax.cond(jnp.any(needs_reset), do_reset,
+                                   lambda args: args, (out_states, obs))
+    return out_states, out_rstates, obs, rew, dones, info

@@ -463,10 +463,19 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
 def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
                   key: jax.Array,
                   obst_active: jax.Array | None = None,
-                  obst_centers: jax.Array | None = None) -> ScenarioState:
+                  obst_centers: jax.Array | None = None,
+                  allowed_modes: tuple | None = None) -> ScenarioState:
     """Advance scenario state by one control tick (goal motion, swaps, ...).
 
     Dispatches on st.mode via lax.switch; every branch is fixed-shape.
+
+    allowed_modes (static): the mode ids this env config can actually sample
+    (EnvConfig.mode_list()).  Under vmap over a batched mode, lax.switch
+    lowers to "compute every branch, select one" — so restricting the branch
+    set to the reachable modes (and skipping the switch entirely for a
+    single-mode config) removes most of the per-step scenario cost: unused
+    branches like the obstacle max-free-square DP would otherwise be
+    evaluated for every env every tick.
     """
     n = cfg.num_agents
     dtype = st.goals.dtype
@@ -641,4 +650,14 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         o_dynamic_diff_goal,
         o_test,
     ]
+    if allowed_modes is not None:
+        allowed = tuple(sorted(set(int(m) for m in allowed_modes)))
+        if len(allowed) == 1:
+            return branches[allowed[0]](st)
+        sub = [branches[i] for i in allowed]
+        lut = np.zeros(len(branches), np.int32)
+        for pos, mid in enumerate(allowed):
+            lut[mid] = pos
+        return jax.lax.switch(jnp.asarray(lut)[jnp.clip(st.mode, 0, len(branches) - 1)],
+                              sub, st)
     return jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1), branches, st)

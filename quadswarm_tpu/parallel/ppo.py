@@ -26,7 +26,9 @@ import optax
 from flax import struct
 from flax.training.train_state import TrainState
 
-from quadswarm_tpu.env.multi import EnvConfig, EnvState, env_reset, env_step
+from quadswarm_tpu.env.multi import (
+    EnvConfig, EnvState, batched_env_step, env_reset, env_step,
+)
 from quadswarm_tpu.env.reward import RewardCoeffs
 from quadswarm_tpu.models.actor_critic import (
     ActorCritic, gaussian_entropy, gaussian_log_prob, sample_actions,
@@ -105,15 +107,14 @@ def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         actions_e = actions.reshape(e, n, -1)
         env_keys = jax.random.split(k_env, e)
         if use_replay:
-            from quadswarm_tpu.env.replay import replay_step
-            env_states, replay_states, next_obs, rew, dones, info = jax.vmap(
-                lambda s, r, a, k: replay_step(
-                    env_cfg, dyn_params, ppo_cfg.replay_sample_prob, s, r, a, k)
-            )(env_states, replay_states, actions_e, env_keys)
+            from quadswarm_tpu.env.replay import batched_replay_step
+            env_states, replay_states, next_obs, rew, dones, info = \
+                batched_replay_step(env_cfg, dyn_params,
+                                    ppo_cfg.replay_sample_prob, env_states,
+                                    replay_states, actions_e, env_keys)
         else:
-            env_states, next_obs, rew, dones, info = jax.vmap(
-                lambda s, a, k: env_step(env_cfg, dyn_params, s, a, k)
-            )(env_states, actions_e, env_keys)
+            env_states, next_obs, rew, dones, info = batched_env_step(
+                env_cfg, dyn_params, env_states, actions_e, env_keys)
         t = Transition(obs=obs, actions=actions_e,
                        log_prob=log_prob.reshape(e, n),
                        value=value.reshape(e, n),
