@@ -22,7 +22,11 @@ BASELINE_SPS_8_QUADS = 62_042.0  # reference paper/fps_compare.py:7-8
 
 def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
           warmup_blocks: int = 2, blocks: int = 5,
-          use_pallas: bool = False) -> dict:
+          use_pallas: bool | None = None) -> dict:
+    if use_pallas is None:
+        # Fused Pallas dynamics is the default on real TPU; the XLA path is
+        # the fallback elsewhere (pallas interpret mode would be very slow).
+        use_pallas = jax.default_backend() == "tpu"
     from quadswarm_tpu.env.multi import EnvConfig, batched_env_step, env_reset
     from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
 
@@ -96,8 +100,11 @@ if __name__ == "__main__":
     p.add_argument("--num_agents", type=int, default=8)
     p.add_argument("--block", type=int, default=100)
     p.add_argument("--blocks", type=int, default=5)
-    p.add_argument("--pallas", action="store_true",
-                   help="integrate dynamics with the fused Pallas kernel")
+    p.add_argument("--pallas", action="store_true", default=None,
+                   help="integrate dynamics with the fused Pallas kernel "
+                        "(default: auto — on for TPU, off elsewhere)")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false",
+                   help="force the XLA dynamics path")
     p.add_argument("--sweep", action="store_true",
                    help="report SPS at N=1/8/32/128 agents (the reference's "
                         "fps_compare.py grid); one JSON line per N to stderr, "

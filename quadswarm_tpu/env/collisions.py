@@ -73,65 +73,95 @@ def drone_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     add momentum-preserving (+c, -c) noise plus independent small noise,
     resampled up to 3 times until the post-collision normal velocities
     separate; then decay speed and kick omega.
+
+    TPU shape: each drone resolves against its FIRST colliding partner (the
+    reference iterates pairs sequentially; identical whenever a drone has at
+    most one partner per tick).  All work is O(N): the partner's state comes
+    from a one-hot select, and the pair's shared random draws (the reference
+    draws once per pair, applying +noise to drone i and -noise to drone j)
+    come from folding the unordered pair id into the key — both drones of a
+    mutual pair derive identical draws, preserving the momentum-pairing.
     """
     n = pos.shape[0]
     dtype = vel.dtype
-    diff = pos[:, None, :] - pos[None, :, :]              # pos_i - pos_j
-    norm_mag = jnp.linalg.norm(diff, axis=-1, keepdims=True)
-    coll_norm = diff / jnp.where(norm_mag == 0.0, norm_mag + EPS, norm_mag)
+    idx = jnp.arange(n)
 
-    v_i_n = jnp.sum(vel[:, None, :] * coll_norm, axis=-1)  # (N,N)
-    v_j_n = jnp.sum(vel[None, :, :] * coll_norm, axis=-1)
-    vel_change = (v_j_n - v_i_n)[..., None] * coll_norm    # shift for drone i
+    # --- partner selection (reference pair iteration order: i<j pairs; a
+    # drone's row pairing — drone as lower index — takes priority) ----------
+    upper = new_pair_mask & (idx[:, None] < idx[None, :])
+    any_row = jnp.any(upper, axis=1)           # d as i: partners j > d
+    first_col = jnp.argmax(upper, axis=1)
+    any_col = jnp.any(upper, axis=0)           # d as j: partners i < d
+    first_row = jnp.argmax(upper, axis=0)
+    active = any_row | any_col
+    partner = jnp.where(any_row, first_col, first_row)
+
+    # One-hot gather of partner state (vectorized select+reduce beats TPU
+    # scalar-indexed gathers by ~an order of magnitude; exact — one nonzero).
+    hot = (partner[:, None] == idx[None, :])[..., None]   # (N, N, 1)
+    p_pos = jnp.sum(jnp.where(hot, pos[None], 0.0), axis=1)
+    p_vel = jnp.sum(jnp.where(hot, vel[None], 0.0), axis=1)
+
+    # --- pair frame: a = lower index, b = higher; norm points a <- b --------
+    is_a = partner > idx                        # this drone is the pair's i
+    lo = jnp.minimum(idx, partner)
+    pair_id = lo * n + jnp.maximum(idx, partner)
+    pos_a = jnp.where(is_a[:, None], pos, p_pos)
+    pos_b = jnp.where(is_a[:, None], p_pos, pos)
+    vel_a = jnp.where(is_a[:, None], vel, p_vel)
+    vel_b = jnp.where(is_a[:, None], p_vel, vel)
+    diff = pos_a - pos_b
+    mag = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    coll_norm = diff / jnp.where(mag == 0.0, mag + EPS, mag)
+    vn_a = jnp.sum(vel_a * coll_norm, axis=-1)
+    vn_b = jnp.sum(vel_b * coll_norm, axis=-1)
+    vel_change = (vn_b - vn_a)[..., None] * coll_norm      # shift for drone a
+
+    k_noise, k_decay, k_omega = jax.random.split(key, 3)
+    pair_noise_key = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(k_noise, (n,) + k_noise.shape), pair_id)
 
     # 3-attempt noise resampling: keep the first valid candidate, else the
     # last one — fixed-trip version of the reference's `for _ in range(3)`
     # with break (collisions/quadrotors.py:35-47).
-    k_noise, k_decay_i, k_decay_j, k_omega = jax.random.split(key, 4)
-    shift_i = shift_j = None
-    chosen = jnp.zeros((n, n), bool)
+    shift_a = shift_b = None
+    chosen = jnp.zeros((n,), bool)
     for attempt in range(3):
-        ka, kb = jax.random.split(jax.random.fold_in(k_noise, attempt))
-        cons = 0.8 * jax.random.normal(ka, (n, n, 3), dtype)
-        small = 0.15 * jax.random.normal(kb, (n, n, 2, 3), dtype)
-        cand_i = vel_change + cons + small[..., 0, :]
-        cand_j = -vel_change - cons + small[..., 1, :]
-        if shift_i is None:
-            shift_i, shift_j = cand_i, cand_j
+        kab = jax.vmap(lambda k: jax.random.fold_in(k, attempt))(pair_noise_key)
+        draw = jax.vmap(lambda k: jax.random.normal(k, (3, 3), dtype))(kab)
+        cons, small_a, small_b = 0.8 * draw[:, 0], 0.15 * draw[:, 1], 0.15 * draw[:, 2]
+        cand_a = vel_change + cons + small_a
+        cand_b = -vel_change - cons + small_b
+        if shift_a is None:
+            shift_a, shift_b = cand_a, cand_b
         else:
-            shift_i = jnp.where(chosen[..., None], shift_i, cand_i)
-            shift_j = jnp.where(chosen[..., None], shift_j, cand_j)
-        d_i = jnp.sum((vel[:, None, :] + cand_i) * coll_norm, axis=-1)
-        d_j = jnp.sum((vel[None, :, :] + cand_j) * coll_norm, axis=-1)
-        chosen = chosen | ((d_i > 0) & (d_j < 0))
+            shift_a = jnp.where(chosen[:, None], shift_a, cand_a)
+            shift_b = jnp.where(chosen[:, None], shift_b, cand_b)
+        d_a = jnp.sum((vel_a + cand_a) * coll_norm, axis=-1)
+        d_b = jnp.sum((vel_b + cand_b) * coll_norm, axis=-1)
+        chosen = chosen | ((d_a > 0) & (d_b < 0))
 
-    max_vel = jnp.maximum(
-        jnp.linalg.norm(vel, axis=-1)[:, None], jnp.linalg.norm(vel, axis=-1)[None, :]
-    )
-    new_vel_i = _compute_new_vel(k_decay_i, max_vel, vel[:, None, :] + 0 * shift_i, shift_i)
-    new_vel_j = _compute_new_vel(k_decay_j, max_vel, vel[None, :, :] + 0 * shift_j, shift_j)
-    omega_kick = _compute_new_omega(k_omega, (n, n), dtype)
+    shift = jnp.where(is_a[:, None], shift_a, shift_b)
+    max_vel = jnp.maximum(jnp.linalg.norm(vel_a, axis=-1),
+                          jnp.linalg.norm(vel_b, axis=-1))
+    pair_decay_key = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(k_decay, (n,) + k_decay.shape), pair_id)
+    decay = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype, 0.2, 0.8))(
+        pair_decay_key)
+    decay = jnp.where(is_a, decay[:, 0], decay[:, 1])
+    vel_hit = vel + shift
+    hit_mag = jnp.linalg.norm(vel_hit, axis=-1, keepdims=True)
+    direction = vel_hit / (hit_mag + EPS)
+    new_speed = jnp.minimum(hit_mag[..., 0] * decay, max_vel)
+    new_vel = direction * new_speed[..., None]
 
-    # Each drone takes the response of its FIRST colliding partner.
-    # For drone d: row d (d as i, partners j>d) and column d (d as j, partners i<d).
-    as_i = new_pair_mask & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
-    any_row = jnp.any(as_i, axis=1)
-    first_col = jnp.argmax(as_i, axis=1)
-    as_j = new_pair_mask & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
-    any_col = jnp.any(as_j, axis=0)
-    first_row = jnp.argmax(as_j, axis=0)
+    pair_omega_key = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(k_omega, (n,) + k_omega.shape), pair_id)
+    kick = jax.vmap(lambda k: _compute_new_omega(k, (), dtype))(pair_omega_key)
+    omega_new = omega + jnp.where(is_a[:, None], kick, -kick)
 
-    idx = jnp.arange(n)
-    vel_from_row = new_vel_i[idx, first_col]          # drone d as i
-    omega_from_row = omega[idx] + omega_kick[idx, first_col]
-    vel_from_col = new_vel_j[first_row, idx]          # drone d as j
-    omega_from_col = omega[idx] - omega_kick[first_row, idx]
-
-    # Row pairing (drone as lower index) takes priority, like iteration order.
-    vel_out = jnp.where(any_row[:, None], vel_from_row,
-                        jnp.where(any_col[:, None], vel_from_col, vel))
-    omega_out = jnp.where(any_row[:, None], omega_from_row,
-                          jnp.where(any_col[:, None], omega_from_col, omega))
+    vel_out = jnp.where(active[:, None], new_vel, vel)
+    omega_out = jnp.where(active[:, None], omega_new, omega)
     return vel_out, omega_out
 
 

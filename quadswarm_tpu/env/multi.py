@@ -362,7 +362,8 @@ def _control_thrusts(cfg: EnvConfig, params: Any, state: EnvState,
 
 
 def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
-             key: jax.Array, auto_reset: bool = True, dyn_override=None):
+             key: jax.Array, auto_reset: bool = True, dyn_override=None,
+             scen_override=None):
     """One control tick for the whole swarm.  Returns
     (state', obs, rewards (N,), dones (N,), info dict).
 
@@ -523,9 +524,15 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     # ---- 5. Scenario step ----------------------------------------------------
     n_cells = cfg.num_obstacle_cells
     centers = state.obst_pos[:, :2]
-    scen = scenario_step(cfg.scenario_config(), state.scenario, tick, keys[6],
-                         state.obst_active, centers,
-                         allowed_modes=cfg.mode_list())
+    if scen_override is not None:
+        # batched_env_step already advanced all envs' scenarios with event
+        # compaction (batched_scenario_step); keys[6] is left unconsumed —
+        # the batched path re-derives the identical per-env key from it.
+        scen = scen_override
+    else:
+        scen = scenario_step(cfg.scenario_config(), state.scenario, tick,
+                             keys[6], state.obst_active, centers,
+                             allowed_modes=cfg.mode_list())
 
     # ---- 6. Observations ------------------------------------------------------
     obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias, keys[7],
@@ -625,6 +632,21 @@ def _pallas_fleet_dynamics(cfg: EnvConfig, params: Any, states: EnvState,
     return jax.tree.map(lambda x: x.reshape((e, n) + x.shape[1:]), out)
 
 
+def _batched_scenario(cfg: EnvConfig, states: EnvState, keys: jax.Array):
+    """Advance all envs' scenarios with event compaction (the expensive
+    teleport/swap/resample branches run on a small gathered subset — see
+    scenarios.batched_scenario_step).  Re-derives the exact per-env key
+    env_step would use (keys[6] of its 10-way split)."""
+    from quadswarm_tpu.env.scenarios import batched_scenario_step
+
+    ticks = states.tick + 1
+    keys6 = jax.vmap(lambda k: jax.random.split(k, 10)[6])(keys)
+    centers = states.obst_pos[:, :, :2]
+    return batched_scenario_step(cfg.scenario_config(), states.scenario,
+                                 ticks, keys6, states.obst_active, centers,
+                                 cfg.mode_list())
+
+
 def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,
                      actions: jax.Array, keys: jax.Array):
     """Vmapped env_step with CONDITIONAL auto-reset.
@@ -637,16 +659,19 @@ def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,
     an episode ends (episodes are fixed-length, so this is ~1 tick in
     ep_len), leaving the hot path pure physics/interactions.
     """
+    scen = _batched_scenario(cfg, states, keys)
     if cfg.use_pallas_dynamics and not _per_drone(params):
         dyn = _pallas_fleet_dynamics(cfg, params, states, actions, keys)
         new_states, obs, rew, dones, info = jax.vmap(
-            lambda s, a, k, d: env_step(cfg, params, s, a, k,
-                                        auto_reset=False, dyn_override=d)
-        )(states, actions, keys, dyn)
+            lambda s, a, k, d, sc: env_step(cfg, params, s, a, k,
+                                            auto_reset=False, dyn_override=d,
+                                            scen_override=sc)
+        )(states, actions, keys, dyn, scen)
     else:
         new_states, obs, rew, dones, info = jax.vmap(
-            lambda s, a, k: env_step(cfg, params, s, a, k, auto_reset=False)
-        )(states, actions, keys)
+            lambda s, a, k, sc: env_step(cfg, params, s, a, k,
+                                         auto_reset=False, scen_override=sc)
+        )(states, actions, keys, scen)
     done_env = jnp.any(dones, axis=-1)
     reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
 

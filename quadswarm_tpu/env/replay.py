@@ -94,7 +94,8 @@ def _write_slot_if(cond, ring, idx, item):
 
 def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
                 state: EnvState, rstate: ReplayState, actions: jax.Array,
-                key: jax.Array, auto_reset: bool = True):
+                key: jax.Array, auto_reset: bool = True,
+                dyn_override=None, scen_override=None):
     """env_step + the experience-replay wrapper logic for one env.
 
     With auto_reset=False (used by `batched_replay_step`), done episodes that
@@ -105,7 +106,9 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     k_env, k_sample, k_choice, k_obs = jax.random.split(key, 4)
     pre_tick = state.tick
     new_state, obs, rew, dones, info = env_step(cfg, params, state, actions,
-                                                k_env, auto_reset=auto_reset)
+                                                k_env, auto_reset=auto_reset,
+                                                dyn_override=dyn_override,
+                                                scen_override=scen_override)
     done = dones[0]
     cp_freq = jnp.int32(CP_STEP_SEC * cfg.control_freq)
     grace = jnp.int32(1.5 * cfg.control_freq)
@@ -206,10 +209,24 @@ def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     """Vmapped replay_step with CONDITIONAL fresh-reset (the replay-sampled
     resets are cheap state selects and stay in the hot path; only the full
     env_reset for non-replayed episode ends is gated on lax.cond)."""
+    from quadswarm_tpu.env.multi import (
+        _batched_scenario, _pallas_fleet_dynamics, _per_drone,
+    )
+
+    # Hoisted fleet-wide dynamics/scenario (same key derivation as
+    # replay_step -> env_step: k_env = split(key, 4)[0]).
+    keys_env = jax.vmap(lambda k: jax.random.split(k, 4)[0])(keys)
+    scen = _batched_scenario(cfg, states, keys_env)
+    if cfg.use_pallas_dynamics and not _per_drone(params):
+        dyn = _pallas_fleet_dynamics(cfg, params, states, actions, keys_env)
+    else:
+        dyn = None
     out_states, out_rstates, obs, rew, dones, info = jax.vmap(
-        lambda s, r, a, k: replay_step(cfg, params, sample_prob, s, r, a, k,
-                                       auto_reset=False)
-    )(states, rstates, actions, keys)
+        lambda s, r, a, k, sc, *d: replay_step(
+            cfg, params, sample_prob, s, r, a, k, auto_reset=False,
+            dyn_override=d[0] if d else None, scen_override=sc)
+    )(states, rstates, actions, keys, scen,
+      *((dyn,) if dyn is not None else ()))
     did_replay = info.pop("replay/did_replay")
     done_env = jnp.any(dones, axis=-1)
     needs_reset = done_env & ~did_replay

@@ -141,6 +141,14 @@ class ScenarioState:
     goal_center_2: jax.Array        # (3,)
     end_point: jax.Array            # (3,) (o_* single-goal modes)
     approach_goal_metric: jax.Array  # f
+    # Affine goal cache: generate_goals is affine in formation_size for every
+    # formation (circle/sphere/grid/cube positions all scale linearly), so
+    # goals(size) == goals_base + size * goals_slope for the episode's fixed
+    # (formation, center, layer_dist).  Lets dynamic_formations — the one
+    # mode that rescales EVERY tick — skip the full formation generator
+    # (lax.switch + trig + grid math) in the per-tick fast path.
+    goals_base: jax.Array           # (N, 3) = goals at size 0
+    goals_slope: jax.Array          # (N, 3) = d goals / d size
 
 
 def _npl_for_formation(fid):
@@ -307,6 +315,11 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
     base_goals = generate_goals(n, fid, default_center, size, layer_dist, npl, dtype)
     base_goals = jax.random.permutation(keys[1], base_goals, axis=0)
 
+    g_at_0 = generate_goals(n, fid, default_center, jnp.zeros((), dtype),
+                            layer_dist, npl, dtype)
+    g_at_1 = generate_goals(n, fid, default_center, jnp.ones((), dtype),
+                            layer_dist, npl, dtype)
+
     interval_sec = jax.random.uniform(keys[2], (), dtype, 4.0, 6.0)
     interval = (interval_sec * cfg.control_freq).astype(jnp.int32)
 
@@ -329,6 +342,8 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
         goal_center_2=default_center,
         end_point=default_center,
         approach_goal_metric=jnp.asarray(MODE_APPROACH_METRIC, dtype)[mode],
+        goals_base=g_at_0,
+        goals_slope=g_at_1 - g_at_0,
     )
 
     def reset_lissajous(st):
@@ -460,11 +475,48 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
 # Step
 # ---------------------------------------------------------------------------
 
+# Modes whose step logic must run EVERY control tick (continuous goal
+# motion).  Every other mode only changes state at sparse event ticks
+# (interval teleports/swaps, Bezier node resampling, o_test trigger) —
+# see scenario_event / batched_scenario_step.
+CONTINUOUS_MODES = frozenset((
+    MODE_IDS["dynamic_formations"], MODE_IDS["ep_lissajous3D"],
+    MODE_IDS["ep_rand_bezier"], MODE_IDS["o_ep_rand_bezier"],
+))
+_INTERVAL_MODES = frozenset((2, 3, 4, 8, 9, 12, 13, 18))
+
+
+def scenario_event(cfg: ScenarioConfig, st: ScenarioState,
+                   tick: jax.Array) -> jax.Array:
+    """True iff this tick's scenario_step does anything beyond the
+    continuous fast path (superset of every slow branch's internal trigger).
+
+    Vectorizes over leading batch dims (mode/interval/tick arrays).
+    """
+    mode = st.mode
+    at_interval = (tick % jnp.maximum(st.interval, 1) == 0) & (tick > 0)
+    is_interval_mode = jnp.isin(mode, jnp.asarray(sorted(_INTERVAL_MODES)))
+    event = is_interval_mode & at_interval
+    # o_dynamic_same_goal also fires at tick 1 (o_dynamic_same_goal.py:17)
+    event |= (mode == MODE_IDS["o_dynamic_same_goal"]) & (tick == 1)
+    # Bezier node resampling cadence (ep_rand_bezier.py:22; o_: 6 s)
+    cs_free = jnp.int32(5 * cfg.control_freq)
+    cs_obst = jnp.int32(6 * cfg.control_freq)
+    event |= (mode == MODE_IDS["ep_rand_bezier"]) & (
+        (tick % cs_free == 0) | (tick == 1))
+    event |= (mode == MODE_IDS["o_ep_rand_bezier"]) & (
+        (tick % cs_obst == 0) | (tick == 1))
+    # o_test one-shot trigger (test/o_test.py:31-43)
+    event |= (mode == MODE_IDS["o_test"]) & (tick > st.interval)
+    return event
+
+
 def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
                   key: jax.Array,
                   obst_active: jax.Array | None = None,
                   obst_centers: jax.Array | None = None,
-                  allowed_modes: tuple | None = None) -> ScenarioState:
+                  allowed_modes: tuple | None = None,
+                  phase: str = "full") -> ScenarioState:
     """Advance scenario state by one control tick (goal motion, swaps, ...).
 
     Dispatches on st.mode via lax.switch; every branch is fixed-shape.
@@ -476,6 +528,14 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
     single-mode config) removes most of the per-step scenario cost: unused
     branches like the obstacle max-free-square DP would otherwise be
     evaluated for every env every tick.
+
+    phase (static): "full" runs everything (the reference semantics, used by
+    the single-env path); "fast" runs only the continuous per-tick motion
+    (event branches become no-ops, Bezier applies eval only); "slow" runs
+    only the sparse event updates (continuous branches become no-ops, Bezier
+    applies node resampling only).  fast∘slow == full for any single tick —
+    batched_scenario_step exploits this to run the slow phase on a small
+    gathered subset of envs.
     """
     n = cfg.num_agents
     dtype = st.goals.dtype
@@ -525,8 +585,10 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         speed = jnp.where(flip, jax.random.uniform(keys[0], (), dtype, 1.0, 3.0),
                           st.control_speed)
         size = st.formation_size + jnp.where(inc, 1.0, -1.0) * 0.001 * speed
-        goals = generate_goals(n, st.formation, st.formation_center, size,
-                               st.layer_dist, st.num_agents_per_layer, dtype)
+        # Affine goal cache (see ScenarioState.goals_base): equals
+        # generate_goals(n, formation, center, size, layer_dist, npl) to
+        # float rounding, without the per-tick formation generator.
+        goals = st.goals_base + size * st.goals_slope
         return st.replace(formation_size=size, increase_formation=inc,
                           control_speed=speed, goals=goals)
 
@@ -541,11 +603,18 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
     def _bezier(st, num_secs, max_cap, z_lo, z_hi, obstacle_mode):
         control_steps = int(num_secs * cfg.control_freq)
         t_idx = tick % control_steps
-        resample = (t_idx == 0) | (tick == 1)
-        nodes = _sample_bezier_nodes(keys[0], st.goals[0], cfg.room_dims,
-                                     st.formation_size, dtype, max_cap, z_lo, z_hi,
-                                     obstacle_mode)
-        nodes = jnp.where(resample, nodes, st.bezier_nodes)
+        if phase != "fast":
+            resample = (t_idx == 0) | (tick == 1)
+            nodes = _sample_bezier_nodes(keys[0], st.goals[0], cfg.room_dims,
+                                         st.formation_size, dtype, max_cap,
+                                         z_lo, z_hi, obstacle_mode)
+            nodes = jnp.where(resample, nodes, st.bezier_nodes)
+        else:
+            nodes = st.bezier_nodes
+        if phase == "slow":
+            # Goal motion already ran in the fast phase (at resample ticks
+            # move=False, so eval order does not matter).
+            return st.replace(bezier_nodes=nodes)
         # linspace(0,1,control_steps)[t] == t/(control_steps-1)
         t = t_idx.astype(dtype) / (control_steps - 1)
         goal0 = _bezier_eval(nodes, t)
@@ -650,6 +719,16 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         o_dynamic_diff_goal,
         o_test,
     ]
+    if phase == "fast":
+        branches = [b if (i in CONTINUOUS_MODES) else no_op
+                    for i, b in enumerate(branches)]
+    elif phase == "slow":
+        # Bezier branches stay live (node resampling); other continuous
+        # branches already ran in the fast phase.
+        keep_slow = (set(range(len(branches))) - CONTINUOUS_MODES) | {
+            MODE_IDS["ep_rand_bezier"], MODE_IDS["o_ep_rand_bezier"]}
+        branches = [b if (i in keep_slow) else no_op
+                    for i, b in enumerate(branches)]
     if allowed_modes is not None:
         allowed = tuple(sorted(set(int(m) for m in allowed_modes)))
         if len(allowed) == 1:
@@ -661,3 +740,82 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         return jax.lax.switch(jnp.asarray(lut)[jnp.clip(st.mode, 0, len(branches) - 1)],
                               sub, st)
     return jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1), branches, st)
+
+
+def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
+                          ticks: jax.Array, keys: jax.Array,
+                          obst_active: jax.Array | None,
+                          obst_centers: jax.Array | None,
+                          allowed_modes: tuple | None,
+                          capacity: int = 0) -> ScenarioState:
+    """scenario_step over a batch of E envs with EVENT COMPACTION.
+
+    The naive vmap evaluates every allowed mode's branch for every env every
+    tick, but the expensive branches (formation regeneration, goal teleports,
+    swaps, Bezier node resampling) only fire at sparse event ticks — every
+    4-6 s per env (scenarios/base.py QUADS_PARAMS_DICT intervals).  Here:
+
+      1. the cheap continuous motion runs vmapped for all envs (phase="fast");
+      2. `scenario_event` flags the ~E/500 envs with an event this tick;
+      3. those envs are gathered into `capacity` fixed slots (lax.top_k),
+         stepped with phase="slow", and scattered back.
+
+    Results are bit-identical to vmapped scenario_step whenever the event
+    count fits the capacity (same per-env keys reach the same branch math);
+    overflowing events — vanishingly rare at the default capacity E/16,
+    ~25x the mean rate — are dropped for that tick (the goal teleport simply
+    happens at the env's next interval tick).
+    """
+    e = ticks.shape[0]
+    has_obst = obst_active is not None
+
+    def fast_one(st, t, k, oa, oc):
+        return scenario_step(cfg, st, t, k, oa, oc,
+                             allowed_modes=allowed_modes, phase="fast")
+
+    def slow_one(st, t, k, oa, oc):
+        return scenario_step(cfg, st, t, k, oa, oc,
+                             allowed_modes=allowed_modes, phase="slow")
+
+    if not has_obst:
+        obst_active = jnp.zeros((e, 1), bool)
+        obst_centers = jnp.zeros((e, 1, 2), sts.goals.dtype)
+
+    fast = jax.vmap(fast_one)(sts, ticks, keys, obst_active, obst_centers)
+
+    event_modes = (set(int(m) for m in allowed_modes) - CONTINUOUS_MODES
+                   ) - {0, 1, 10, 11, 15, 16, 17} if allowed_modes is not None \
+        else set(range(len(MODES)))
+    bezier_ids = {MODE_IDS["ep_rand_bezier"], MODE_IDS["o_ep_rand_bezier"]}
+    if allowed_modes is not None:
+        event_modes |= bezier_ids & set(int(m) for m in allowed_modes)
+    if not event_modes:
+        return fast
+
+    event = scenario_event(cfg, sts, ticks)
+    cap = capacity if capacity > 0 else max(32, e // 64)
+    cap = min(cap, e)
+    if cap == e:
+        # No compaction benefit — run the slow phase vmapped on all envs.
+        slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
+        bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
+        return jax.tree.map(
+            lambda a, b: jnp.where(bmask(event, a), a, b), slow, fast)
+
+    # Stream-compact event env indices into `cap` slots via cumsum+scatter
+    # (O(E), no sort — cheaper than lax.top_k which lowers to a full sort).
+    slot = jnp.cumsum(event.astype(jnp.int32)) - 1
+    dest = jnp.where(event & (slot < cap), slot, cap)      # overflow -> dump
+    idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
+        jnp.arange(e, dtype=jnp.int32), mode="drop")[:cap]
+    valid = jnp.arange(cap) < jnp.minimum(slot[-1] + 1, cap)
+    take = lambda x: x[idx]
+    sub = jax.tree.map(take, fast)
+    slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
+                              obst_active[idx], obst_centers[idx])
+    bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
+    merged = jax.tree.map(
+        lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
+    # Unoccupied slots all point at env idx 0 and carry its unchanged fast
+    # value, so the duplicate scatter writes are value-identical no-ops.
+    return jax.tree.map(lambda full, m: full.at[idx].set(m), fast, merged)

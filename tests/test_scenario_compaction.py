@@ -1,0 +1,130 @@
+"""Event-compacted batched scenario stepping == naive vmapped scenario_step.
+
+batched_scenario_step runs the continuous "fast" phase for every env and
+gathers only event-flagged envs through the expensive "slow" branches; for
+any tick where events fit the capacity the result must be BIT-IDENTICAL to
+the full vmapped step (same per-env keys reach the same branch math).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadswarm_tpu.env.multi import EnvConfig, env_reset
+from quadswarm_tpu.env.params import make_dynamics_params
+from quadswarm_tpu.env.scenarios import (
+    MIX_MODES_MULTI, MODE_IDS, batched_scenario_step, scenario_event,
+    scenario_step,
+)
+
+
+def _make_batch(cfg, e, key):
+    params = make_dynamics_params()
+    states, _ = jax.vmap(lambda k: env_reset(cfg, params, k))(
+        jax.random.split(key, e))
+    return states
+
+
+def _compare(cfg, states, ticks, keys, allowed, capacity):
+    scfg = cfg.scenario_config()
+    centers = states.obst_pos[:, :, :2]
+    full = jax.vmap(
+        lambda st, t, k, oa, oc: scenario_step(scfg, st, t, k, oa, oc,
+                                               allowed_modes=allowed)
+    )(states.scenario, ticks, keys, states.obst_active, centers)
+    compact = batched_scenario_step(scfg, states.scenario, ticks, keys,
+                                    states.obst_active, centers, allowed,
+                                    capacity=capacity)
+    for name in full.__dataclass_fields__:
+        a, b = getattr(full, name), getattr(compact, name)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_compaction_matches_full_mix():
+    cfg = EnvConfig(num_agents=4, quads_mode="mix")
+    e = 32
+    key = jax.random.PRNGKey(0)
+    states = _make_batch(cfg, e, key)
+    allowed = cfg.mode_list()
+    # Force diverse modes + ticks so several envs hit events per tick:
+    # intervals are 400-600 ticks; pick ticks spanning event boundaries.
+    modes = jnp.asarray([MIX_MODES_MULTI[i % len(MIX_MODES_MULTI)]
+                         for i in range(e)], jnp.int32)
+    states = states.replace(
+        scenario=states.scenario.replace(mode=modes),
+        tick=jnp.zeros((e,), jnp.int32))
+    for t in [1, 2, 100, 400, 480, 500, 501]:
+        ticks = jnp.full((e,), t, jnp.int32)
+        # Make some envs' interval divide the tick -> at_interval fires.
+        interval = jnp.where(jnp.arange(e) % 3 == 0, t if t > 1 else 500,
+                             states.scenario.interval)
+        states = states.replace(
+            scenario=states.scenario.replace(interval=interval.astype(jnp.int32)))
+        keys = jax.random.split(jax.random.PRNGKey(1000 + t), e)
+        _compare(cfg, states, ticks, keys, allowed, capacity=8)
+
+
+def test_compaction_capacity_equals_batch():
+    """capacity >= E falls back to the all-envs slow path — still identical."""
+    cfg = EnvConfig(num_agents=4, quads_mode="mix")
+    e = 8
+    states = _make_batch(cfg, e, jax.random.PRNGKey(2))
+    ticks = jnp.full((e,), 500, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(3), e)
+    _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=e)
+
+
+def test_dynamic_formations_affine_cache():
+    """goals_base + size*goals_slope == generate_goals(...) for every
+    formation family (the generator is affine in formation_size)."""
+    from quadswarm_tpu.env.formations import generate_goals
+    from quadswarm_tpu.env.scenarios import scenario_reset
+
+    scfg = EnvConfig(num_agents=7, quads_mode="dynamic_formations"
+                     ).scenario_config()
+    mode = jnp.asarray(MODE_IDS["dynamic_formations"], jnp.int32)
+    for seed in range(12):  # samples across all 8 formation ids
+        st = scenario_reset(scfg, jax.random.PRNGKey(seed), mode)
+        for size in [-0.7, 0.0, 0.33, 1.9]:
+            s = jnp.asarray(size, st.goals.dtype)
+            want = generate_goals(7, st.formation, st.formation_center, s,
+                                  st.layer_dist, st.num_agents_per_layer,
+                                  st.goals.dtype)
+            got = st.goals_base + s * st.goals_slope
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_event_predicate_superset():
+    """scenario_event must flag every tick where the full step changes state
+    beyond the continuous fast phase (predicate ⊇ internal triggers)."""
+    cfg = EnvConfig(num_agents=4, quads_mode="mix")
+    scfg = cfg.scenario_config()
+    e = 16
+    states = _make_batch(cfg, e, jax.random.PRNGKey(4))
+    modes = jnp.asarray([MIX_MODES_MULTI[i % len(MIX_MODES_MULTI)]
+                         for i in range(e)], jnp.int32)
+    scen = states.scenario.replace(mode=modes)
+    centers = states.obst_pos[:, :, :2]
+    rng = np.random.default_rng(0)
+    for t in rng.integers(1, 1500, 12):
+        ticks = jnp.full((e,), int(t), jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(int(t)), e)
+        full = jax.vmap(
+            lambda st, tt, k, oa, oc: scenario_step(
+                scfg, st, tt, k, oa, oc, allowed_modes=cfg.mode_list())
+        )(scen, ticks, keys, states.obst_active, centers)
+        fast = jax.vmap(
+            lambda st, tt, k, oa, oc: scenario_step(
+                scfg, st, tt, k, oa, oc, allowed_modes=cfg.mode_list(),
+                phase="fast")
+        )(scen, ticks, keys, states.obst_active, centers)
+        event = np.asarray(scenario_event(scfg, scen, ticks))
+        differs = np.zeros(e, bool)
+        for name in full.__dataclass_fields__:
+            a = np.asarray(getattr(full, name))
+            b = np.asarray(getattr(fast, name))
+            d = (a != b).reshape(e, -1).any(axis=1)
+            differs |= d
+        # anywhere full != fast, the event flag must be set
+        assert not np.any(differs & ~event), (t, differs, event)
