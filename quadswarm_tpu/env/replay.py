@@ -92,17 +92,45 @@ def _write_slot_if(cond, ring, idx, item):
     return _write_slot(ring, idx, item)
 
 
+def _write_slots_batched(cond, ring, idx, item):
+    """Batched masked ring write via one-hot select.
+
+    ring leaves (E, K, ...), idx/cond (E,), item leaves (E, ...).  A vmapped
+    dynamic_update_index (scatter with E batched indices) serializes on TPU —
+    XLA can't prove index uniqueness, so it lowers to a sequential update
+    loop that measured ~400x the whole env step.  The elementwise one-hot
+    select is a single fused pass over the ring instead.
+    """
+    k = jax.tree.leaves(ring)[0].shape[1]
+    hot = (jnp.arange(k)[None, :] == idx[:, None]) & cond[:, None]   # (E, K)
+
+    def wr(r, x):
+        mask = hot.reshape(hot.shape + (1,) * (r.ndim - 2))
+        return jnp.where(mask, x[:, None], r)
+
+    return jax.tree.map(wr, ring, item)
+
+
 def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
                 state: EnvState, rstate: ReplayState, actions: jax.Array,
                 key: jax.Array, auto_reset: bool = True,
-                dyn_override=None, scen_override=None):
+                dyn_override=None, scen_override=None,
+                defer_ring_writes: bool = False):
     """env_step + the experience-replay wrapper logic for one env.
 
     With auto_reset=False (used by `batched_replay_step`), done episodes that
     do NOT replay a buffered state are left in their terminal state and
     flagged via info["replay/did_replay"]; the batched wrapper fresh-resets
     them under a lax.cond so the expensive reset path runs only on
-    episode-boundary ticks (see multi.batched_env_step)."""
+    episode-boundary ticks (see multi.batched_env_step).
+
+    defer_ring_writes (static): leave the checkpoint rings untouched and
+    return the write commands in info (replay/_save_cp, _cp_slot, _can_write,
+    _buf_slot, _buf_item) instead.  Under vmap+scan, the per-env ring scatter
+    forces XLA to rewrite the WHOLE (E, slots, ...) ring arrays every tick —
+    measured as ~400x the entire env step.  Writes fire on <=1/50 of ticks
+    (0.5 s checkpoint cadence + rate-limited collision events), so the
+    batched wrapper applies them under lax.cond(any fired)."""
     k_env, k_sample, k_choice, k_obs = jax.random.split(key, 4)
     pre_tick = state.tick
     new_state, obs, rew, dones, info = env_step(cfg, params, state, actions,
@@ -118,7 +146,10 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     save_cp = (~done) & rstate.activated & (~rstate.saved_in_replay_buffer) & (
         tick % cp_freq == 0)
     cp_slot = rstate.ep_cp_count % EP_CP_SLOTS
-    ep_cps = _write_slot_if(save_cp, rstate.ep_checkpoints, cp_slot, new_state)
+    if defer_ring_writes:
+        ep_cps = rstate.ep_checkpoints
+    else:
+        ep_cps = _write_slot_if(save_cp, rstate.ep_checkpoints, cp_slot, new_state)
     ep_cp_count = jnp.where(save_cp, rstate.ep_cp_count + 1, rstate.ep_cp_count)
 
     # Collision this tick? (new drone pair or new obstacle hit)
@@ -131,13 +162,20 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
         & (tick > grace)
         & (tick - rstate.last_tick_added > jnp.int32(5 * cfg.control_freq))
         & (ep_cp_count >= steps_ago))
-    # checkpoint from 1.5 s ago = steps_ago slots back in the ring
+    # checkpoint from 1.5 s ago = steps_ago slots back in the ring.  With
+    # deferred writes this reads the pre-write ring: the slot written this
+    # tick is ep_cp_count % 6 and the slot read is (ep_cp_count+1-3) % 6,
+    # which never coincide, so the data is identical.
     read_slot = (ep_cp_count - steps_ago) % EP_CP_SLOTS
-    cp = _read_slot(ep_cps, read_slot)
-    buffer = _write_slot_if(can_write, rstate.buffer, rstate.buffer_idx, cp)
-    num_replayed = jnp.where(
-        can_write, rstate.num_replayed.at[rstate.buffer_idx].set(0),
-        rstate.num_replayed)
+    if defer_ring_writes:
+        buffer = rstate.buffer
+    else:
+        cp = _read_slot(ep_cps, read_slot)
+        buffer = _write_slot_if(can_write, rstate.buffer, rstate.buffer_idx, cp)
+    # one-hot select, not .at[idx].set — batched scalar-indexed scatters
+    # serialize on TPU (see _write_slots_batched)
+    buf_hot = jnp.arange(BUFFER_SLOTS) == rstate.buffer_idx
+    num_replayed = jnp.where(can_write & buf_hot, 0, rstate.num_replayed)
     buffer_idx = jnp.where(can_write, (rstate.buffer_idx + 1) % BUFFER_SLOTS,
                            rstate.buffer_idx)
     buffer_count = jnp.where(
@@ -147,10 +185,10 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
 
     # --- episode end: can-fly gate + replay-vs-fresh reset -------------------
     crashes = state.crashes_last_episode  # accumulated over the ending episode
-    hist = jnp.where(
-        done, rstate.crash_history.at[rstate.episode_count % CRASH_WINDOW].set(
-            crashes.astype(rstate.crash_history.dtype)),
-        rstate.crash_history)
+    hist_hot = jnp.arange(CRASH_WINDOW) == rstate.episode_count % CRASH_WINDOW
+    hist = jnp.where(done & hist_hot,
+                     crashes.astype(rstate.crash_history.dtype),
+                     rstate.crash_history)
     episode_count = jnp.where(done, rstate.episode_count + 1, rstate.episode_count)
     enough = episode_count >= 10
     window = jnp.minimum(episode_count, CRASH_WINDOW).astype(hist.dtype)
@@ -159,31 +197,37 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
 
     # Sample a replay event?
     choice_idx = jax.random.randint(k_choice, (), 0, jnp.maximum(buffer_count, 1))
-    replayable = rstate.num_replayed[choice_idx] < MAX_REPLAYS
+    choice_hot = jnp.arange(BUFFER_SLOTS) == choice_idx
+    replayable = jnp.sum(
+        jnp.where(choice_hot, num_replayed, 0)) < MAX_REPLAYS
     do_replay = (done & activated & (buffer_count > 0) & replayable
                  & (jax.random.uniform(k_sample, ()) < sample_prob))
-    replay_env = _read_slot(buffer, choice_idx)
-    # Zero the episode collision counters like the reference (:168-171)
-    replay_env = replay_env.replace(
-        collisions_per_episode=jnp.zeros((), jnp.int32),
-        collisions_after_settle=jnp.zeros((), jnp.int32),
-        obst_collisions_per_episode=jnp.zeros((), jnp.int32),
-        obst_collisions_after_settle=jnp.zeros((), jnp.int32),
-        rew_coeff=new_state.rew_coeff,
-    )
-    out_state = jax.tree.map(
-        lambda a, b: jnp.where(do_replay, a, b), replay_env, new_state)
-    num_replayed = jnp.where(
-        do_replay, num_replayed.at[choice_idx].add(1), num_replayed)
+    if defer_ring_writes:
+        # Buffer read + replayed-state obs happen in batched_replay_step
+        # under lax.cond(any(do_replay)) — done fires on ~1/ep_len ticks.
+        out_state = new_state
+    else:
+        replay_env = _read_slot(buffer, choice_idx)
+        # Zero the episode collision counters like the reference (:168-171)
+        replay_env = replay_env.replace(
+            collisions_per_episode=jnp.zeros((), jnp.int32),
+            collisions_after_settle=jnp.zeros((), jnp.int32),
+            obst_collisions_per_episode=jnp.zeros((), jnp.int32),
+            obst_collisions_after_settle=jnp.zeros((), jnp.int32),
+            rew_coeff=new_state.rew_coeff,
+        )
+        out_state = jax.tree.map(
+            lambda a, b: jnp.where(do_replay, a, b), replay_env, new_state)
+        # Observation of the replayed state (the reference returns the obs
+        # saved with the event; we re-derive it from the checkpointed state)
+        replay_obs, _ = _compute_obs(
+            cfg, out_state.dyn, out_state.scenario.goals, out_state.gyro_bias,
+            k_obs, out_state.obst_active, out_state.obst_pos, out_state.obst_size)
+        obs = jnp.where(do_replay, replay_obs, obs)
+    num_replayed = num_replayed + jnp.where(do_replay & choice_hot, 1, 0)
     replayed_events = jnp.where(do_replay, rstate.replayed_events + 1,
                                 rstate.replayed_events)
     saved = jnp.where(done, do_replay, rstate.saved_in_replay_buffer)
-    # Observation of the replayed state (the reference returns the obs saved
-    # with the event; we re-derive it from the checkpointed state)
-    replay_obs, _ = _compute_obs(
-        cfg, out_state.dyn, out_state.scenario.goals, out_state.gyro_bias,
-        k_obs, out_state.obst_active, out_state.obst_pos, out_state.obst_size)
-    obs = jnp.where(do_replay, replay_obs, obs)
     ep_cp_count = jnp.where(done, 0, ep_cp_count)
     last_tick_added = jnp.where(done, jnp.int32(-1_000_000_000), last_tick_added)
 
@@ -200,6 +244,13 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     info["replay/activated"] = activated
     if not auto_reset:
         info["replay/did_replay"] = do_replay
+    if defer_ring_writes:
+        info["replay/_save_cp"] = save_cp
+        info["replay/_cp_slot"] = cp_slot
+        info["replay/_can_write"] = can_write
+        info["replay/_buf_slot"] = rstate.buffer_idx
+        info["replay/_buf_read_slot"] = read_slot
+        info["replay/_choice_idx"] = choice_idx
     return out_state, new_rstate, obs, rew, dones, info
 
 
@@ -224,10 +275,59 @@ def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     out_states, out_rstates, obs, rew, dones, info = jax.vmap(
         lambda s, r, a, k, sc, *d: replay_step(
             cfg, params, sample_prob, s, r, a, k, auto_reset=False,
-            dyn_override=d[0] if d else None, scen_override=sc)
+            dyn_override=d[0] if d else None, scen_override=sc,
+            defer_ring_writes=True)
     )(states, rstates, actions, keys, scen,
       *((dyn,) if dyn is not None else ()))
     did_replay = info.pop("replay/did_replay")
+
+    # Deferred checkpoint-ring writes: the per-env ring update rewrites the
+    # whole (E, slots, ...) rings, so apply it only on the rare ticks where
+    # any env actually writes (see replay_step docstring).
+    save_cp = info.pop("replay/_save_cp")
+    cp_slot = info.pop("replay/_cp_slot")
+    can_write = info.pop("replay/_can_write")
+    buf_slot = info.pop("replay/_buf_slot")
+    buf_read_slot = info.pop("replay/_buf_read_slot")
+    choice_idx = info.pop("replay/_choice_idx")
+
+    def apply_writes(rings):
+        ep, buf = rings
+        ep = _write_slots_batched(save_cp, ep, cp_slot, out_states)
+        # The 1.5s-ago checkpoint: read slot never equals this tick's write
+        # slot (see replay_step), so reading the pre-write ring is identical.
+        buf_item = jax.vmap(_read_slot)(out_rstates.ep_checkpoints,
+                                        buf_read_slot)
+        buf = _write_slots_batched(can_write, buf, buf_slot, buf_item)
+        return ep, buf
+
+    ep_ring, buf_ring = jax.lax.cond(
+        jnp.any(save_cp) | jnp.any(can_write), apply_writes, lambda r: r,
+        (out_rstates.ep_checkpoints, out_rstates.buffer))
+    out_rstates = out_rstates.replace(ep_checkpoints=ep_ring, buffer=buf_ring)
+
+    # Deferred replay-state selection: buffer read + replayed-state obs only
+    # on episode-boundary ticks (do_replay requires done).
+    k_obs = jax.vmap(lambda k: jax.random.split(k, 4)[3])(keys)
+
+    def apply_replay(args):
+        sts, ob = args
+        replay_env = jax.vmap(_read_slot)(buf_ring, choice_idx)
+        z = jnp.zeros(choice_idx.shape, jnp.int32)
+        replay_env = replay_env.replace(
+            collisions_per_episode=z, collisions_after_settle=z,
+            obst_collisions_per_episode=z, obst_collisions_after_settle=z,
+            rew_coeff=sts.rew_coeff)
+        robs = jax.vmap(
+            lambda s, k: _compute_obs(cfg, s.dyn, s.scenario.goals,
+                                      s.gyro_bias, k, s.obst_active,
+                                      s.obst_pos, s.obst_size)[0]
+        )(replay_env, k_obs)
+        return (_select_done(did_replay, replay_env, sts),
+                _select_done(did_replay, robs, ob))
+
+    out_states, obs = jax.lax.cond(jnp.any(did_replay), apply_replay,
+                                   lambda args: args, (out_states, obs))
     done_env = jnp.any(dones, axis=-1)
     needs_reset = done_env & ~did_replay
     reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)

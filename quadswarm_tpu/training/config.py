@@ -58,6 +58,9 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quads_obst_collision_reward", default=0.0, type=float)
     # Aerodynamics
     p.add_argument("--quads_use_downwash", default=False, type=str2bool)
+    p.add_argument("--quads_use_pallas", default="auto",
+                   choices=["auto", "true", "false"],
+                   help="fused Pallas dynamics kernel (auto: on for TPU)")
     # Scenarios
     # Full scenario-mode surface (quadrotor_params.py:91-97) — including the
     # four obstacle modes the reference advertises but never implemented
@@ -155,6 +158,7 @@ def parse_swarm_cfg(argv=None, evaluation: bool = False) -> argparse.Namespace:
 
 
 def env_config_from_args(args) -> "EnvConfig":
+    import jax
     import jax.numpy as jnp
 
     from quadswarm_tpu.env.multi import EnvConfig
@@ -175,6 +179,9 @@ def env_config_from_args(args) -> "EnvConfig":
         obst_spawn_area=tuple(args.quads_obst_spawn_area),
         use_downwash=args.quads_use_downwash,
         quads_mode=args.quads_mode,
+        use_pallas_dynamics=(jax.default_backend() == "tpu"
+                             if args.quads_use_pallas == "auto"
+                             else args.quads_use_pallas == "true"),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
 
