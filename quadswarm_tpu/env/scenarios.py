@@ -742,6 +742,76 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
     return jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1), branches, st)
 
 
+def _fast_step_fused(cfg: ScenarioConfig, sts: ScenarioState,
+                     ticks: jax.Array, keys: jax.Array,
+                     allowed_modes: tuple | None) -> ScenarioState:
+    """Batched fast (continuous-motion) phase without the vmapped switch.
+
+    Bit-identical to `jax.vmap(scenario_step(..., phase="fast"))`: the
+    CONTINUOUS_MODES branch math is replicated exactly (same per-env key
+    derivation for the dynamic_formations speed resample, `_bezier_eval`
+    vmapped as-is).  The win is that the vmapped `lax.switch` materializes
+    a full per-branch copy of ScenarioState and selects EVERY leaf for
+    every env, while the continuous branches can only ever change four
+    leaves (goals + the three dynamic_formations scalars) — so this fused
+    form only touches those.
+    """
+    cont = CONTINUOUS_MODES if allowed_modes is None else (
+        CONTINUOUS_MODES & set(int(m) for m in allowed_modes))
+    if not cont:
+        return sts
+    dtype = sts.goals.dtype
+    mode = sts.mode
+    goals = sts.goals
+    size_out = sts.formation_size
+    inc_out = sts.increase_formation
+    speed_out = sts.control_speed
+
+    if MODE_IDS["dynamic_formations"] in cont:
+        is_df = mode == MODE_IDS["dynamic_formations"]
+        at_low = sts.formation_size <= -sts.highest_size
+        at_high = sts.formation_size >= sts.highest_size
+        flip = at_low | at_high
+        inc = jnp.where(at_low, True,
+                        jnp.where(at_high, False, sts.increase_formation))
+        u = jax.vmap(lambda k: jax.random.uniform(
+            jax.random.split(k, 8)[0], (), dtype, 1.0, 3.0))(keys)
+        speed = jnp.where(flip, u, sts.control_speed)
+        size = sts.formation_size + jnp.where(inc, 1.0, -1.0) * 0.001 * speed
+        df_goals = sts.goals_base + size[:, None, None] * sts.goals_slope
+        goals = jnp.where(is_df[:, None, None], df_goals, goals)
+        size_out = jnp.where(is_df, size, size_out)
+        inc_out = jnp.where(is_df, inc, inc_out)
+        speed_out = jnp.where(is_df, speed, speed_out)
+
+    if MODE_IDS["ep_lissajous3D"] in cont:
+        is_liss = mode == MODE_IDS["ep_lissajous3D"]
+        t = ticks.astype(dtype) / cfg.control_freq
+        off = jnp.stack([0.03 * jnp.sin(t),
+                         0.01 * jnp.sin(2 * t + 90.0),
+                         0.01 * jnp.cos(2 * t + 90.0)], axis=-1)
+        goal0 = sts.goals[:, 0] + off
+        goals = jnp.where(is_liss[:, None, None],
+                          jnp.broadcast_to(goal0[:, None, :], goals.shape),
+                          goals)
+
+    for mname, num_secs in (("ep_rand_bezier", 5), ("o_ep_rand_bezier", 6)):
+        if MODE_IDS[mname] in cont:
+            is_bez = mode == MODE_IDS[mname]
+            control_steps = int(num_secs * cfg.control_freq)
+            t_idx = ticks % control_steps
+            t = t_idx.astype(dtype) / (control_steps - 1)
+            goal0 = jax.vmap(_bezier_eval)(sts.bezier_nodes, t)
+            move = (t_idx != 0) & (ticks > 1)
+            bgoals = jnp.where(move[:, None, None],
+                               jnp.broadcast_to(goal0[:, None, :], goals.shape),
+                               sts.goals)
+            goals = jnp.where(is_bez[:, None, None], bgoals, goals)
+
+    return sts.replace(goals=goals, formation_size=size_out,
+                       increase_formation=inc_out, control_speed=speed_out)
+
+
 def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
                           ticks: jax.Array, keys: jax.Array,
                           obst_active: jax.Array | None,
@@ -769,10 +839,6 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
     e = ticks.shape[0]
     has_obst = obst_active is not None
 
-    def fast_one(st, t, k, oa, oc):
-        return scenario_step(cfg, st, t, k, oa, oc,
-                             allowed_modes=allowed_modes, phase="fast")
-
     def slow_one(st, t, k, oa, oc):
         return scenario_step(cfg, st, t, k, oa, oc,
                              allowed_modes=allowed_modes, phase="slow")
@@ -781,7 +847,7 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
         obst_active = jnp.zeros((e, 1), bool)
         obst_centers = jnp.zeros((e, 1, 2), sts.goals.dtype)
 
-    fast = jax.vmap(fast_one)(sts, ticks, keys, obst_active, obst_centers)
+    fast = _fast_step_fused(cfg, sts, ticks, keys, allowed_modes)
 
     event_modes = (set(int(m) for m in allowed_modes) - CONTINUOUS_MODES
                    ) - {0, 1, 10, 11, 15, 16, 17} if allowed_modes is not None \
@@ -816,6 +882,22 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
     bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
     merged = jax.tree.map(
         lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
-    # Unoccupied slots all point at env idx 0 and carry its unchanged fast
-    # value, so the duplicate scatter writes are value-identical no-ops.
-    return jax.tree.map(lambda full, m: full.at[idx].set(m), fast, merged)
+    # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a scatter
+    # with cap batch-varying indices, which XLA serializes into cap
+    # sequential row writes PER LEAF on TPU (~20 leaves — measured ~14% of
+    # the whole env step).  Each written row has exactly one hot slot and
+    # `merged` is always finite (invalid slots carry the gathered fast
+    # values), so the einsum reproduces the scatter bit-for-bit.
+    hot = (idx[:, None] == jnp.arange(e)[None, :]) & valid[:, None]  # (cap, E)
+    row_written = jnp.any(hot, axis=0)
+
+    def merge(full, m):
+        if m.dtype == jnp.bool_:
+            scat = jnp.einsum('ce,c...->e...', hot.astype(jnp.float32),
+                              m.astype(jnp.float32)) > 0.5
+        else:
+            scat = jnp.einsum('ce,c...->e...', hot.astype(m.dtype), m)
+        return jnp.where(
+            row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
+
+    return jax.tree.map(merge, fast, merged)
