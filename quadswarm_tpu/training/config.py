@@ -61,6 +61,12 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quads_use_pallas", default="auto",
                    choices=["auto", "true", "false"],
                    help="fused Pallas dynamics kernel (auto: on for TPU)")
+    # Accepted-and-ignored for drop-in compatibility with reference training
+    # commands (quadrotor_params.py:21 — numba has no meaning here; the
+    # TPU analogue is --quads_use_pallas).
+    p.add_argument("--quads_use_numba", default=False, type=str2bool,
+                   help="ignored (reference compatibility); see "
+                        "--quads_use_pallas")
     # Scenarios
     # Full scenario-mode surface (quadrotor_params.py:91-97) — including the
     # four obstacle modes the reference advertises but never implemented
