@@ -104,8 +104,33 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--train_dir", default="train_dir", type=str)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--train_for_env_steps", default=1_000_000_000, type=int)
-    p.add_argument("--num_envs", default=1024, type=int,
-                   help="on-device env batch (replaces num_workers x num_envs_per_worker)")
+    p.add_argument("--num_envs", default=0, type=int,
+                   help="on-device env batch (replaces num_workers x "
+                        "num_envs_per_worker; 0 = derive from those, "
+                        "default 1024)")
+    # Sample Factory worker-grid flags, accepted for drop-in reuse of the
+    # reference's command lines (runs/quad_multi_mix_baseline.py:8-18):
+    # when --num_envs is not given, the env batch = workers x envs/worker.
+    p.add_argument("--num_workers", default=0, type=int,
+                   help="reference compat: rollout worker count; folded "
+                        "into --num_envs")
+    p.add_argument("--num_envs_per_worker", default=4, type=int,
+                   help="reference compat: folded into --num_envs")
+    # Accepted-and-checked reference model/trainer flags.  The built-in
+    # model already implements the baseline's settings (actor_critic.py:
+    # separate weights, xavier_uniform init, state-independent stddev,
+    # feed-forward policy), so only the baseline values are supported.
+    p.add_argument("--use_rnn", default=False, type=str2bool)
+    p.add_argument("--recurrence", default=1, type=int)
+    p.add_argument("--actor_critic_share_weights", default=False, type=str2bool)
+    p.add_argument("--policy_initialization", default="xavier_uniform", type=str)
+    p.add_argument("--adaptive_stddev", default=False, type=str2bool)
+    p.add_argument("--max_policy_lag", default=100000000, type=int,
+                   help="reference compat: accepted; APPO uses --policy_lag")
+    p.add_argument("--normalize_input", default=False, type=str2bool)
+    p.add_argument("--normalize_returns", default=False, type=str2bool)
+    p.add_argument("--save_milestones_sec", default=-1, type=int,
+                   help="reference compat: alias for --save_every_sec when set")
     p.add_argument("--learning_rate", default=1e-4, type=float)
     p.add_argument("--gamma", default=0.99, type=float)
     p.add_argument("--gae_lambda", default=1.00, type=float)
@@ -160,7 +185,38 @@ def parse_swarm_cfg(argv=None, evaluation: bool = False) -> argparse.Namespace:
         p.add_argument("--render_mode", default="plot",
                        choices=["plot", "dump", "none", "human", "rgb_array"])
         p.add_argument("--render_out", default="render_out", type=str)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    return _resolve_compat_flags(args)
+
+
+def _resolve_compat_flags(args) -> argparse.Namespace:
+    """Fold Sample-Factory-style flags into their native equivalents and
+    reject settings whose semantics this build does not implement (rather
+    than silently training something different)."""
+    import warnings
+
+    if args.num_envs <= 0:
+        args.num_envs = (args.num_workers * args.num_envs_per_worker
+                         if args.num_workers > 0 else 1024)
+    if args.save_milestones_sec > 0:
+        args.save_every_sec = min(args.save_every_sec, args.save_milestones_sec)
+    if args.use_rnn or args.recurrence > 1:
+        raise ValueError("recurrent policies are not implemented; the "
+                         "reference baselines train with --use_rnn=False "
+                         "--recurrence=1 (train.sh)")
+    if args.actor_critic_share_weights:
+        raise ValueError("shared actor/critic weights not implemented "
+                         "(baselines use --actor_critic_share_weights=False)")
+    if args.adaptive_stddev:
+        raise ValueError("adaptive (state-dependent) stddev not implemented "
+                         "(baselines use --adaptive_stddev=False)")
+    if args.policy_initialization != "xavier_uniform":
+        warnings.warn(f"policy_initialization={args.policy_initialization!r} "
+                      "ignored; the model uses xavier_uniform")
+    if args.normalize_input or args.normalize_returns:
+        warnings.warn("input/return normalization not implemented; flags "
+                      "ignored (baselines set both to False)")
+    return args
 
 
 def env_config_from_args(args) -> "EnvConfig":
