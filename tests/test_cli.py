@@ -77,3 +77,39 @@ def test_render_frame():
     frame = render_frame(pos, goals, cols, views=("topdown", "global"))
     assert frame.ndim == 3 and frame.shape[2] == 3
     assert frame.shape[0] > 100 and frame.shape[1] > 100
+
+
+def test_reference_baseline_cli_parses_unmodified():
+    """The reference's exact 8-drone mix baseline command line
+    (runs/quad_multi_mix_baseline.py:8-18) must parse drop-in; the
+    Sample Factory worker grid folds into the on-device env batch."""
+    from quadswarm_tpu.training.config import parse_swarm_cfg
+    cli = (
+        "--env=quadrotor_multi --train_for_env_steps=1000000000 --algo=APPO"
+        " --use_rnn=False --num_workers=36 --num_envs_per_worker=4"
+        " --learning_rate=0.0001 --ppo_clip_value=5.0 --recurrence=1"
+        " --nonlinearity=tanh --actor_critic_share_weights=False"
+        " --policy_initialization=xavier_uniform --adaptive_stddev=False"
+        " --with_vtrace=False --max_policy_lag=100000000 --rnn_size=256"
+        " --with_pbt=False --gae_lambda=1.00 --max_grad_norm=5.0"
+        " --exploration_loss_coeff=0.0 --rollout=128 --batch_size=1024"
+        " --quads_use_numba=True --quads_num_agents=8 --quads_mode=mix"
+        " --quads_episode_duration=15.0 --quads_neighbor_encoder_type=attention"
+        " --quads_neighbor_hidden_size=256 --quads_neighbor_obs_type=pos_vel"
+        " --quads_collision_reward=5.0 --quads_collision_hitbox_radius=2.0"
+        " --quads_collision_falloff_radius=4.0"
+        " --quads_collision_smooth_max_penalty=10.0"
+        " --quads_neighbor_visible_num=6 --replay_buffer_sample_prob=0.75"
+        " --anneal_collision_steps=300000000 --normalize_input=False"
+        " --normalize_returns=False --reward_clip=10.0"
+        " --save_milestones_sec=3600").split()
+    args = parse_swarm_cfg(cli)
+    assert args.num_envs == 36 * 4
+    assert args.save_every_sec <= 3600
+    assert args.quads_num_agents == 8
+
+    import pytest
+    with pytest.raises(ValueError):
+        parse_swarm_cfg(["--use_rnn=True"])
+    explicit = parse_swarm_cfg(["--num_envs=64", "--num_workers=36"])
+    assert explicit.num_envs == 64
