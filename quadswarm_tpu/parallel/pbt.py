@@ -36,7 +36,8 @@ class PBTConfig:
     replace_fraction: float = 0.3           # --pbt_replace_fraction
     mutation_rate: float = 0.15             # --pbt_mutation_rate
     replace_reward_gap: float = 0.1         # --pbt_replace_reward_gap
-    perturb_range: tuple = (0.8, 1.2)
+    perturb_range: tuple = (0.8, 1.2)       # (1/pbt_perturb_max, pbt_perturb_max)
+    optimize_gamma: bool = False            # --pbt_optimize_gamma
 
 
 @dataclass
@@ -108,6 +109,16 @@ class PBTRunner:
                     lambda x: x.copy() if hasattr(x, "copy") else x,
                     src.train_state.opt_state))
             dst.base_rew_coeff = self._mutate_coeffs(src.base_rew_coeff)
+            if (self.pbt_cfg.optimize_gamma
+                    and self.rng.random() < self.pbt_cfg.mutation_rate):
+                # SF --pbt_optimize_gamma: mutate the discount by perturbing
+                # the horizon 1/(1-gamma), clamped to a sane range.  gamma is
+                # static under jit, so the adoptee's program is rebuilt.
+                lo, hi = self.pbt_cfg.perturb_range
+                horizon = 1.0 / (1.0 - src.ppo_cfg.gamma)
+                gamma = 1.0 - 1.0 / max(horizon * self.rng.uniform(lo, hi), 2.0)
+                gamma = float(np.clip(gamma, 0.9, 0.9995))
+                dst.set_ppo_cfg(dst.ppo_cfg.replace(gamma=gamma))
             self.policies[b].recent_true_rewards = []
             print(f"PBT: policy {b} <- policy {t} "
                   f"(obj {objectives[b]:.1f} <- {objectives[t]:.1f}), "

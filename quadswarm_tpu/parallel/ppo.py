@@ -45,6 +45,10 @@ class PPOConfig:
     ppo_clip_value: float = struct.field(pytree_node=False, default=5.0)
     value_loss_coeff: float = struct.field(pytree_node=False, default=0.5)
     exploration_loss_coeff: float = struct.field(pytree_node=False, default=0.0)
+    # Max-entropy objective coefficient (SF --max_entropy_coeff; the PBT
+    # obstacle run sets 0.0005).  Applied as an entropy bonus in the loss,
+    # alongside exploration_loss_coeff.
+    max_entropy_coeff: float = struct.field(pytree_node=False, default=0.0)
     max_grad_norm: float = struct.field(pytree_node=False, default=5.0)
     rollout: int = struct.field(pytree_node=False, default=128)
     batch_size: int = struct.field(pytree_node=False, default=1024)
@@ -160,7 +164,8 @@ def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
         (value - returns) ** 2, (v_clipped - returns) ** 2))
     entropy = jnp.mean(gaussian_entropy(log_std))
     loss = (pg_loss + ppo_cfg.value_loss_coeff * v_loss
-            - ppo_cfg.exploration_loss_coeff * entropy)
+            - (ppo_cfg.exploration_loss_coeff + ppo_cfg.max_entropy_coeff)
+            * entropy)
     metrics = {"loss": loss, "pg_loss": pg_loss, "v_loss": v_loss,
                "entropy": entropy,
                "approx_kl": jnp.mean(old_log_prob - log_prob)}
@@ -298,13 +303,25 @@ class Trainer:
         else:
             self.replay_states = None
             replay_sh = rsh  # empty pytree; spec is inert
-        self._iter_fn = jax.jit(
-            functools.partial(train_iteration, env_cfg, dyn_params, model, ppo_cfg),
-            in_shardings=(rsh, bsh, bsh, rsh, rsh, replay_sh),
-            donate_argnums=(0, 1, 2, 5),
-        )
+        self._shardings = (rsh, bsh, bsh, rsh, rsh, replay_sh)
+        self._build_iter_fn()
         self.base_rew_coeff = dict(
             quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
+
+    def _build_iter_fn(self):
+        self._iter_fn = jax.jit(
+            functools.partial(train_iteration, self.env_cfg, self.dyn_params,
+                              self.model, self.ppo_cfg),
+            in_shardings=self._shardings,
+            donate_argnums=(0, 1, 2, 5),
+        )
+
+    def set_ppo_cfg(self, ppo_cfg: PPOConfig) -> None:
+        """Swap trainer hyperparameters (e.g. a PBT-mutated gamma).  The
+        config is static under jit, so the iteration program is rebuilt —
+        a recompile on the next iteration, not a silent no-op."""
+        self.ppo_cfg = ppo_cfg
+        self._build_iter_fn()
 
     def current_rew_coeff(self) -> RewardCoeffs:
         """Reward-shaping + linear annealing (reward_shaping.py:110-118):

@@ -138,6 +138,9 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ppo_clip_value", default=5.0, type=float)
     p.add_argument("--value_loss_coeff", default=0.5, type=float)
     p.add_argument("--exploration_loss_coeff", default=0.0, type=float)
+    p.add_argument("--max_entropy_coeff", default=0.0, type=float,
+                   help="max-entropy objective coefficient "
+                        "(pbt_quads_multi_obstacles.py sets 0.0005)")
     p.add_argument("--max_grad_norm", default=5.0, type=float)
     p.add_argument("--rollout", default=128, type=int)
     p.add_argument("--batch_size", default=1024, type=int)
@@ -170,6 +173,8 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pbt_mutation_rate", default=0.15, type=float)
     p.add_argument("--pbt_replace_reward_gap", default=0.1, type=float)
     p.add_argument("--pbt_replace_reward_gap_absolute", default=1e-6, type=float)
+    p.add_argument("--pbt_optimize_gamma", default=False, type=str2bool)
+    p.add_argument("--pbt_perturb_max", default=1.2, type=float)
 
 
 def parse_swarm_cfg(argv=None, evaluation: bool = False) -> argparse.Namespace:
@@ -280,6 +285,7 @@ def ppo_config_from_args(args) -> "PPOConfig":
         ppo_clip_value=args.ppo_clip_value,
         value_loss_coeff=args.value_loss_coeff,
         exploration_loss_coeff=args.exploration_loss_coeff,
+        max_entropy_coeff=args.max_entropy_coeff,
         max_grad_norm=args.max_grad_norm,
         rollout=args.rollout,
         batch_size=args.batch_size,

@@ -51,6 +51,8 @@ def main(argv=None) -> int:
             replace_fraction=args.pbt_replace_fraction,
             mutation_rate=args.pbt_mutation_rate,
             replace_reward_gap=args.pbt_replace_reward_gap,
+            perturb_range=(1.0 / args.pbt_perturb_max, args.pbt_perturb_max),
+            optimize_gamma=args.pbt_optimize_gamma,
         )
         runner = PBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
                            seed=args.seed, anneal_schedules=anneal,
