@@ -113,3 +113,27 @@ def test_reference_baseline_cli_parses_unmodified():
         parse_swarm_cfg(["--use_rnn=True"])
     explicit = parse_swarm_cfg(["--num_envs=64", "--num_workers=36"])
     assert explicit.num_envs == 64
+
+
+def test_reference_pbt_obstacle_cli_parses_unmodified():
+    """The reference PBT obstacle run's extra flags
+    (runs/obstacles/pbt_quads_multi_obstacles.py:11-25) parse drop-in."""
+    from quadswarm_tpu.training.config import (
+        parse_swarm_cfg, ppo_config_from_args,
+    )
+    cli = (
+        "--num_policies=8 --pbt_mix_policies_in_one_env=True"
+        " --pbt_period_env_steps=10000000 --pbt_start_mutation=50000000"
+        " --pbt_replace_reward_gap=0.2 --pbt_replace_reward_gap_absolute=3.0"
+        " --pbt_optimize_gamma=True --pbt_perturb_max=1.2"
+        " --exploration_loss_coeff=0.0005 --max_entropy_coeff=0.0005"
+        " --anneal_collision_steps=0 --train_for_env_steps=10000000000"
+        " --num_workers=68 --num_envs_per_worker=2 --quads_num_agents=8"
+        " --quads_neighbor_visible_num=6 --quads_neighbor_obs_type=pos_vel"
+        " --quads_encoder_type=attention --with_wandb=True"
+        " --wandb_project=Quad-Swarm-RL --wandb_user=multi-drones"
+        " --wandb_group=pbt_obstacle_multi_attn_v2").split()
+    args = parse_swarm_cfg(cli)
+    assert args.num_envs == 68 * 2
+    assert args.pbt_optimize_gamma is True
+    assert ppo_config_from_args(args).max_entropy_coeff == 0.0005
