@@ -75,11 +75,40 @@ def main(argv=None) -> int:
     p.add_argument("--pause_between", default=1, type=float)
     p.add_argument("--slurm_timeout", default="23:59:00")
     p.add_argument("--slurm_gpus_per_job", default=0, type=int)
+    # Reference launcher compatibility (SF launcher flags used by
+    # train*.sh / README commands):
+    p.add_argument("--experiment_suffix", default="",
+                   help="appended to every experiment name")
+    p.add_argument("--experiments_per_gpu", default=-1, type=int,
+                   help="with --num_gpus, folds into --max_parallel")
+    p.add_argument("--num_gpus", default=0, type=int,
+                   help="accelerator-count scheduling hint; with "
+                        "--experiments_per_gpu folds into --max_parallel")
+    p.add_argument("--slurm_print_only", default=False,
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   help="write sbatch scripts without submitting "
+                        "(implies dry submission)")
+    p.add_argument("--slurm_workdir", default="",
+                   help="directory for generated sbatch scripts "
+                        "(default: train_dir)")
+    p.add_argument("--slurm_sbatch_template", default="",
+                   help="path to a custom sbatch template with {name}, "
+                        "{train_dir}, {cmd}, {timeout}, {timeout_cmd}, "
+                        "{gres} placeholders")
+    p.add_argument("--slurm_cpus_per_gpu", default=0, type=int)
     args = p.parse_args(argv)
+    if args.num_gpus > 0 and args.experiments_per_gpu > 0:
+        args.max_parallel = max(args.max_parallel,
+                                args.num_gpus * args.experiments_per_gpu)
 
     module = importlib.import_module(args.run)
     rd: RunDescription = module.RUN_DESCRIPTION
     cmds = list(rd.commands(args.train_dir))
+    if args.experiment_suffix:
+        cmds = [(f"{n}_{args.experiment_suffix}",
+                 c.replace(f"--experiment={n}",
+                           f"--experiment={n}_{args.experiment_suffix}"))
+                for n, c in cmds]
     print(f"run {rd.run_name}: {len(cmds)} experiments")
 
     if args.backend == "dry":
@@ -88,18 +117,30 @@ def main(argv=None) -> int:
         return 0
 
     if args.backend == "slurm":
+        workdir = args.slurm_workdir or args.train_dir
+        template = SBATCH_TEMPLATE
+        if args.slurm_sbatch_template:
+            with open(args.slurm_sbatch_template) as f:
+                template = f.read()
         os.makedirs(args.train_dir, exist_ok=True)
+        os.makedirs(workdir, exist_ok=True)
         for name, cmd in cmds:
             os.makedirs(os.path.join(args.train_dir, name), exist_ok=True)
-            script = SBATCH_TEMPLATE.format(
+            gres = (f"--gres=gpu:{args.slurm_gpus_per_job}"
+                    if args.slurm_gpus_per_job else "--ntasks=1")
+            if args.slurm_cpus_per_gpu and args.slurm_gpus_per_job:
+                gres += ("\n#SBATCH --cpus-per-gpu="
+                         f"{args.slurm_cpus_per_gpu}")
+            script = template.format(
                 name=name, train_dir=args.train_dir, cmd=cmd,
-                timeout=args.slurm_timeout, timeout_cmd="23h",
-                gres=f"--gres=gpu:{args.slurm_gpus_per_job}"
-                if args.slurm_gpus_per_job else "--ntasks=1")
-            path = os.path.join(args.train_dir, f"{name}.sbatch")
+                timeout=args.slurm_timeout, timeout_cmd="23h", gres=gres)
+            path = os.path.join(workdir, f"{name}.sbatch")
             with open(path, "w") as f:
                 f.write(script)
-            subprocess.run(["sbatch", path], check=False)
+            if args.slurm_print_only:
+                print(f"  (print-only) {path}")
+            else:
+                subprocess.run(["sbatch", path], check=False)
         return 0
 
     # processes backend
