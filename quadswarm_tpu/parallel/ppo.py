@@ -347,13 +347,17 @@ class Trainer:
     def train(self, total_env_steps: int, log_every: int = 10, logger=None):
         import time
         it = 0
-        t0 = time.time()
+        last_t, last_steps = time.time(), self.env_steps
         while self.env_steps < total_env_steps:
             metrics, infos = self.iteration()
             it += 1
             if it % log_every == 0:
                 m = jax.tree.map(float, jax.device_get(metrics))
-                sps = self.env_steps / (time.time() - t0)
+                now = time.time()
+                # windowed SPS: the first window absorbs jit compilation,
+                # later windows report steady-state throughput
+                sps = (self.env_steps - last_steps) / max(now - last_t, 1e-9)
+                last_t, last_steps = now, self.env_steps
                 m["sps"] = sps
                 m["env_steps"] = self.env_steps
                 if logger is not None:
