@@ -124,6 +124,21 @@ class APPOTrainer(Trainer):
         super().__init__(env_cfg, ppo_cfg, model, dyn_params, seed=seed,
                          anneal_schedules=anneal_schedules, mesh=mesh)
         self.policy_lag = policy_lag
+        self._build_appo_fns()
+        # queue[0] is the behavior version for the next rollout; with lag L
+        # the rollout dispatched at iteration i uses the learner output of
+        # iteration i-1-L (clipped at init).
+        self._param_queue = deque([self.train_state.params],
+                                  maxlen=policy_lag + 1)
+
+    def set_ppo_cfg(self, ppo_cfg: PPOConfig) -> None:
+        # Rebuild BOTH asynchronous programs — ppo_cfg is static in each.
+        super().set_ppo_cfg(ppo_cfg)
+        self._build_appo_fns()
+
+    def _build_appo_fns(self):
+        env_cfg, ppo_cfg = self.env_cfg, self.ppo_cfg
+        model, dyn_params = self.model, self.dyn_params
         bsh = batch_sharding(self.mesh)
         rsh = replicated_sharding(self.mesh)
         replay_sh = bsh if self.replay_states is not None else rsh
@@ -150,11 +165,6 @@ class APPOTrainer(Trainer):
             functools.partial(appo_learn, model, ppo_cfg),
             in_shardings=(rsh, tsh, bsh, rsh),
             donate_argnums=(1,))
-        # queue[0] is the behavior version for the next rollout; with lag L
-        # the rollout dispatched at iteration i uses the learner output of
-        # iteration i-1-L (clipped at init).
-        self._param_queue = deque([self.train_state.params],
-                                  maxlen=policy_lag + 1)
 
     def iteration(self):
         self.key, k_roll, k_learn = jax.random.split(self.key, 3)

@@ -18,3 +18,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # oracle parity at float64
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Long single-process runs accumulate tracing/executable caches that
+    pathologically slow late XLA compiles (a fresh process compiles the
+    same trainer program in ~80 s; at the tail of the full suite the same
+    compile exceeded 35 min).  Dropping caches at module boundaries keeps
+    compile times flat; each module re-pays only its own compiles."""
+    yield
+    import jax
+    jax.clear_caches()
