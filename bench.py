@@ -92,6 +92,56 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
     }
 
 
+def bench_train(num_envs: int = 256, num_agents: int = 8,
+                iters: int = 10, use_pallas: bool | None = None,
+                replay_sample_prob: float = 0.75) -> dict:
+    """End-to-end training throughput (rollout + PPO update, one chip):
+    the 8-drone mix baseline config (rollout 128, batch 1024, replay
+    buffer on, corl attention encoder), same delta-method timing."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from quadswarm_tpu.env.multi import EnvConfig
+    from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
+    from quadswarm_tpu.models.actor_critic import ActorCritic
+    from quadswarm_tpu.parallel.ppo import PPOConfig, Trainer
+
+    env_cfg = EnvConfig(
+        num_agents=num_agents, neighbor_obs_type="pos_vel",
+        neighbor_visible_num=min(6, num_agents - 1) if num_agents > 1 else 0,
+        quads_mode="mix" if num_agents > 1 else "static_same_goal",
+        use_pallas_dynamics=use_pallas, dtype=jnp.float32)
+    ppo_cfg = PPOConfig(rollout=128, batch_size=1024, num_envs=num_envs,
+                        replay_sample_prob=replay_sample_prob)
+    model = ActorCritic(
+        self_obs_dim=18, neighbor_obs_dim=6,
+        num_neighbors=env_cfg.neighbor_visible_num,
+        encoder_type="corl", neighbor_encoder_type="attention",
+        rnn_size=256, neighbor_hidden=256)
+    dyn = DynamicsParams.from_model(crazyflie_params(),
+                                    dt=env_cfg.dt).astype(np.float32)
+    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=0)
+    trainer.iteration()  # compile
+    float(jnp.sum(jax.tree.leaves(trainer.train_state.params)[0]))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            trainer.iteration()
+        float(jnp.sum(jax.tree.leaves(trainer.train_state.params)[0]))
+        return time.perf_counter() - t0
+
+    elapsed = max(timed(1 + iters) - timed(1), 1e-9)
+    steps_per_iter = ppo_cfg.rollout * num_envs * num_agents
+    sps = steps_per_iter * iters / elapsed
+    return {
+        "metric": f"train agent-steps/s ({num_agents}-drone mix baseline, "
+                  f"{num_envs} envs, replay on)",
+        "value": round(sps),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(sps / BASELINE_SPS_8_QUADS, 2),
+    }
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -109,8 +159,13 @@ if __name__ == "__main__":
                    help="report SPS at N=1/8/32/128 agents (the reference's "
                         "fps_compare.py grid); one JSON line per N to stderr, "
                         "headline 8-agent line to stdout")
+    p.add_argument("--train", action="store_true",
+                   help="measure end-to-end training throughput "
+                        "(rollout + PPO update) instead of sim-only SPS")
     args = p.parse_args()
-    if args.sweep:
+    if args.train:
+        print(json.dumps(bench_train(use_pallas=args.pallas)))
+    elif args.sweep:
         import sys
 
         from quadswarm_tpu.analysis.plots import PYBULLET_SPS, REFERENCE_SPS
