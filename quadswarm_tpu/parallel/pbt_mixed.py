@@ -1,0 +1,313 @@
+"""Mixed-policy PBT: P policies sharing ONE env batch, assigned per agent.
+
+Reference semantics: Sample Factory's `--pbt_mix_policies_in_one_env=True`
+(runs/obstacles/pbt_quads_multi_obstacles.py:12) puts agents controlled by
+different policies into the same episodes, so PBT objectives are measured
+under direct interaction, and each policy's reward shaping applies to its
+own agents (swarm_rl/env_wrappers/reward_shaping.py:19-44 per-policy
+RewardShapingInterface).
+
+TPU-native form:
+- policy params and optimizer states are STACKED with a leading [P] axis
+  (one pytree, one buffer donation, no per-policy Python objects);
+- the rollout computes all P policy heads on the whole agent batch (the
+  models are tiny, so P forward passes cost less than a gather of stacked
+  params) and one-hot-selects each agent's assigned head;
+- per-agent reward coefficients reach the env as (N,)-shaped RewardCoeffs
+  leaves (reward math broadcasts elementwise), i.e.
+  `coeffs_stacked[assignment]`;
+- the learner is a single vmap over P of masked-PPO: every policy sees the
+  same shuffled minibatches, its loss averaging only its own agents'
+  samples (mask = assignment == p);
+- assignments resample at episode boundaries with an on-device key.
+
+Replacement/mutation (`pbt_round`) ranks policies by mean true_reward of
+their agents at episode ends and copies [P]-slices of the stacked pytrees.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from quadswarm_tpu.env.multi import EnvConfig, batched_env_step, env_reset
+from quadswarm_tpu.env.reward import RewardCoeffs
+from quadswarm_tpu.models.actor_critic import (
+    ActorCritic, gaussian_entropy, gaussian_log_prob, sample_actions,
+)
+from quadswarm_tpu.parallel.ppo import PPOConfig, compute_gae
+
+
+class MixedTransition(NamedTuple):
+    obs: jax.Array         # (E, N, obs)
+    actions: jax.Array     # (E, N, A)
+    log_prob: jax.Array    # (E, N)
+    value: jax.Array       # (E, N)
+    reward: jax.Array      # (E, N)
+    done: jax.Array        # (E, N)
+    assignment: jax.Array  # (E, N) int32 — policy id that acted
+
+
+def _select_policy(outs, assignment_flat, num_policies):
+    """outs: (P, EN, ...) -> (EN, ...) selecting each row's assigned head."""
+    hot = jax.nn.one_hot(assignment_flat, num_policies, dtype=outs.dtype)
+    return jnp.einsum("np,pn...->n...", hot, outs)
+
+
+def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
+                  ppo_cfg: PPOConfig, num_policies: int, stacked_params,
+                  env_states, obs, assignment, coeff_stack: RewardCoeffs,
+                  key):
+    """T-step rollout of one shared env batch under P policies.
+
+    coeff_stack leaves are (P,)-shaped; each env's rew_coeff becomes the
+    (N,)-leaved gather by that env's agent assignments.
+    """
+    e, n = assignment.shape
+    p_count = num_policies
+
+    def push_coeffs(env_states, assignment):
+        # Non-mutated RewardCoeffs fields are scalar defaults — broadcast
+        # them to (P,) so the per-agent gather works uniformly.
+        per_agent = jax.tree.map(
+            lambda c: jnp.broadcast_to(
+                jnp.asarray(c, env_cfg.dtype), (p_count,))[assignment],
+            coeff_stack)
+        return env_states.replace(rew_coeff=per_agent)
+
+    env_states = push_coeffs(env_states, assignment)
+
+    def step_fn(carry, step_key):
+        env_states, obs, assignment = carry
+        k_act, k_env, k_assign = jax.random.split(step_key, 3)
+        flat_obs = obs.reshape(e * n, -1)
+        mean, log_std, value = jax.vmap(
+            lambda p: model.apply(p, flat_obs))(stacked_params)
+        sel = assignment.reshape(e * n)
+        mean = _select_policy(mean, sel, p_count)
+        log_std = _select_policy(log_std, sel, p_count)
+        value = _select_policy(value.reshape(p_count, e * n), sel, p_count)
+        actions = sample_actions(k_act, mean, log_std)
+        log_prob = gaussian_log_prob(mean, log_std, actions)
+        actions_e = actions.reshape(e, n, -1)
+        env_keys = jax.random.split(k_env, e)
+        new_states, next_obs, rew, dones, info = batched_env_step(
+            env_cfg, dyn_params, env_states, actions_e, env_keys)
+        t = MixedTransition(obs=obs, actions=actions_e,
+                            log_prob=log_prob.reshape(e, n),
+                            value=value.reshape(e, n),
+                            reward=jnp.clip(rew, -ppo_cfg.reward_clip,
+                                            ppo_cfg.reward_clip),
+                            done=dones, assignment=assignment)
+        # Resample assignments for envs that just finished an episode
+        done_env = jnp.any(dones, axis=-1)
+        fresh = jax.random.randint(k_assign, (e, n), 0, p_count)
+        assignment = jnp.where(done_env[:, None], fresh, assignment)
+        new_states = push_coeffs(new_states, assignment)
+        return (new_states, next_obs, assignment), (t, info)
+
+    keys = jax.random.split(key, ppo_cfg.rollout)
+    (env_states, obs, assignment), (traj, infos) = jax.lax.scan(
+        step_fn, (env_states, obs, assignment), keys)
+    flat_obs = obs.reshape(e * n, -1)
+    values = jax.vmap(lambda p: model.apply(p, flat_obs)[2])(stacked_params)
+    last_value = _select_policy(values.reshape(p_count, e * n),
+                                assignment.reshape(e * n), p_count)
+    return env_states, obs, assignment, traj, last_value.reshape(e, n), infos
+
+
+def masked_ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch,
+                    mask):
+    """PPO loss averaged over this policy's samples only (mask in {0,1})."""
+    obs, actions, old_log_prob, old_value, advantages, returns = batch
+    mean, log_std, value = model.apply(params, obs)
+    log_prob = gaussian_log_prob(mean, log_std, actions)
+    ratio = jnp.exp(log_prob - old_log_prob)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    madv = advantages * mask
+    mmean = jnp.sum(madv) / denom
+    mstd = jnp.sqrt(jnp.sum(mask * (advantages - mmean) ** 2) / denom)
+    adv = (advantages - mmean) / (mstd + 1e-8)
+    clip = ppo_cfg.ppo_clip_ratio
+    pg = -jnp.minimum(ratio * adv,
+                      jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * adv)
+    v_clipped = old_value + jnp.clip(value - old_value,
+                                     -ppo_cfg.ppo_clip_value,
+                                     ppo_cfg.ppo_clip_value)
+    v_err = jnp.maximum((value - returns) ** 2, (v_clipped - returns) ** 2)
+    entropy = gaussian_entropy(log_std)
+    per_sample = (pg + 0.5 * ppo_cfg.value_loss_coeff * v_err
+                  - (ppo_cfg.exploration_loss_coeff
+                     + ppo_cfg.max_entropy_coeff) * entropy)
+    loss = jnp.sum(per_sample * mask) / denom
+    return loss
+
+
+def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
+                          model: ActorCritic, ppo_cfg: PPOConfig,
+                          num_policies: int, tx, stacked_params,
+                          stacked_opt, env_states, obs, assignment,
+                          coeff_stack: RewardCoeffs, key):
+    """One iteration: shared rollout, then a vmapped masked update per
+    policy (same minibatch permutation for every policy)."""
+    k_roll, k_perm = jax.random.split(key)
+    env_states, obs, assignment, traj, last_value, infos = mixed_rollout(
+        env_cfg, dyn_params, model, ppo_cfg, num_policies, stacked_params,
+        env_states, obs, assignment, coeff_stack, k_roll)
+    advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
+                                      ppo_cfg.gae_lambda)
+
+    t_dim, e_dim, n_dim = traj.reward.shape
+    total = t_dim * e_dim * n_dim
+    flat = (
+        traj.obs.reshape(total, -1),
+        traj.actions.reshape(total, -1),
+        traj.log_prob.reshape(total),
+        traj.value.reshape(total),
+        advantages.reshape(total),
+        returns.reshape(total),
+    )
+    assign_flat = traj.assignment.reshape(total)
+    batch = min(ppo_cfg.batch_size, total)
+    num_minibatches = max(total // batch, 1)
+    chunk = min(256, batch)
+    while batch % chunk:
+        chunk //= 2
+    num_chunks = total // chunk
+    perm = jax.random.permutation(k_perm, num_chunks)
+
+    def to_minibatches(x):
+        return (x[: num_chunks * chunk]
+                .reshape((num_chunks, chunk) + x.shape[1:])[perm]
+                [: num_minibatches * (batch // chunk)]
+                .reshape((num_minibatches, batch) + x.shape[1:]))
+
+    batched = jax.tree.map(to_minibatches, flat)
+    assign_mb = to_minibatches(assign_flat)
+
+    def update_policy(pid, params, opt_state):
+        def minibatch(carry, mb):
+            params, opt_state = carry
+            data, assign = mb
+            mask = (assign == pid).astype(data[0].dtype)
+            loss, grads = jax.value_and_grad(
+                lambda p: masked_ppo_loss(model, ppo_cfg, p, data, mask)
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            minibatch, (params, opt_state), (batched, assign_mb))
+        return params, opt_state, losses[-1]
+
+    pids = jnp.arange(num_policies)
+    stacked_params, stacked_opt, losses = jax.vmap(update_policy)(
+        pids, stacked_params, stacked_opt)
+    metrics = {"loss": losses, "reward_mean": jnp.mean(traj.reward)}
+    # Per-policy episode objective: mean true_reward of a policy's agents at
+    # episode ends this rollout (reward_shaping.py:79-86 true_reward)
+    done = infos["episode_done"]                      # (T, E)
+    tr = infos["true_reward"]                         # (T, E, N)
+    hot = jax.nn.one_hot(traj.assignment, num_policies)   # (T, E, N, P)
+    w = done[:, :, None, None] * hot
+    obj = (jnp.einsum("tenp,ten->p", w, tr)
+           / jnp.maximum(jnp.einsum("tenp->p", w), 1.0))
+    metrics["pbt/objective"] = obj
+    metrics["pbt/episodes"] = jnp.einsum("tenp->p", w)
+    return (stacked_params, stacked_opt, env_states, obs, assignment,
+            metrics, infos)
+
+
+class MixedPBTRunner:
+    """P policies in one env batch; periodic rank-replace-mutate."""
+
+    def __init__(self, env_cfg: EnvConfig, ppo_cfg: PPOConfig,
+                 model: ActorCritic, dyn_params: Any, pbt_cfg,
+                 seed: int = 0, exp_dir: str = "train_dir/pbt_mixed"):
+        self.env_cfg, self.ppo_cfg, self.model = env_cfg, ppo_cfg, model
+        self.dyn_params, self.pbt_cfg, self.exp_dir = dyn_params, pbt_cfg, exp_dir
+        self.rng = np.random.default_rng(seed)
+        p_count = pbt_cfg.num_policies
+        self.num_policies = p_count
+
+        key = jax.random.PRNGKey(seed)
+        self.key, k_model, k_env, k_assign = jax.random.split(key, 4)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+            optax.adam(ppo_cfg.learning_rate))
+        init_keys = jax.random.split(k_model, p_count)
+        obs_dim = env_cfg.obs_dim
+        self.params = jax.vmap(
+            lambda k: model.init(k, jnp.zeros((1, obs_dim))))(init_keys)
+        self.opt_state = jax.vmap(self.tx.init)(self.params)
+
+        env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
+        self.env_states, self.obs = jax.jit(jax.vmap(
+            lambda k: env_reset(env_cfg, dyn_params, k)))(env_keys)
+        self.assignment = jax.random.randint(
+            k_assign, (ppo_cfg.num_envs, env_cfg.num_agents), 0, p_count)
+        base = dict(quadcol_bin=5.0, quadcol_bin_smooth_max=10.0,
+                    quadcol_bin_obst=5.0)
+        self.coeffs = [dict(base) for _ in range(p_count)]
+        self.env_steps = 0
+        self.objective_hist = [[] for _ in range(p_count)]
+        self._iter = jax.jit(functools.partial(
+            mixed_train_iteration, env_cfg, dyn_params, model, ppo_cfg,
+            p_count, self.tx))
+
+    def _coeff_stack(self) -> RewardCoeffs:
+        stacked = {k: jnp.asarray([c.get(k, 0.0) for c in self.coeffs],
+                                  self.env_cfg.dtype)
+                   for k in ("quadcol_bin", "quadcol_bin_smooth_max",
+                             "quadcol_bin_obst")}
+        return RewardCoeffs(**stacked)
+
+    def iteration(self):
+        self.key, k = jax.random.split(self.key)
+        (self.params, self.opt_state, self.env_states, self.obs,
+         self.assignment, metrics, infos) = self._iter(
+            self.params, self.opt_state, self.env_states, self.obs,
+            self.assignment, self._coeff_stack(), k)
+        self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
+                           * self.env_cfg.num_agents)
+        obj = np.asarray(jax.device_get(metrics["pbt/objective"]))
+        eps = np.asarray(jax.device_get(metrics["pbt/episodes"]))
+        for p in range(self.num_policies):
+            if eps[p] > 0:
+                self.objective_hist[p].append(float(obj[p]))
+        return metrics, infos
+
+    def pbt_round(self):
+        """Rank by recent objective; bottom fraction adopts a top policy's
+        params/opt slice with mutated reward shaping (pbt.py semantics over
+        stacked pytrees)."""
+        objectives = np.array([
+            np.mean(h[-20:]) if h else -np.inf for h in self.objective_hist])
+        order = np.argsort(-objectives)
+        k = max(int(round(self.pbt_cfg.replace_fraction
+                          * self.num_policies)), 1)
+        top, bottom = order[:k], order[-k:]
+        for b in bottom:
+            t = int(self.rng.choice(top))
+            if t == b or not np.isfinite(objectives[t]):
+                continue
+            gap = objectives[t] - objectives[b]
+            if gap <= abs(objectives[t]) * self.pbt_cfg.replace_reward_gap:
+                continue
+            copy_slice = lambda x: x.at[b].set(x[t])
+            self.params = jax.tree.map(copy_slice, self.params)
+            self.opt_state = jax.tree.map(
+                lambda x: copy_slice(x) if hasattr(x, "at") else x,
+                self.opt_state)
+            mutated = dict(self.coeffs[t])
+            for name in mutated:
+                if self.rng.random() < self.pbt_cfg.mutation_rate:
+                    lo, hi = self.pbt_cfg.perturb_range
+                    mutated[name] = float(mutated[name]) * self.rng.uniform(lo, hi)
+            self.coeffs[b] = mutated
+            self.objective_hist[b] = []

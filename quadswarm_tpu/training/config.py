@@ -221,11 +221,6 @@ def _resolve_compat_flags(args) -> argparse.Namespace:
     if args.normalize_input or args.normalize_returns:
         warnings.warn("input/return normalization not implemented; flags "
                       "ignored (baselines set both to False)")
-    if getattr(args, "pbt_mix_policies_in_one_env", False):
-        warnings.warn(
-            "pbt_mix_policies_in_one_env: this build trains each PBT policy "
-            "on its own env batch (policies do not share episodes); the "
-            "flag is accepted but cross-policy mixing is not implemented")
     return args
 
 

@@ -1,0 +1,71 @@
+"""Mixed-policy PBT: P policies sharing one env batch
+(--pbt_mix_policies_in_one_env=True, pbt_quads_multi_obstacles.py:12)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadswarm_tpu.env.multi import EnvConfig
+from quadswarm_tpu.env.params import make_dynamics_params
+from quadswarm_tpu.models.actor_critic import ActorCritic
+from quadswarm_tpu.parallel.pbt import PBTConfig
+from quadswarm_tpu.parallel.pbt_mixed import MixedPBTRunner
+from quadswarm_tpu.parallel.ppo import PPOConfig
+
+
+def _runner(num_policies=2, num_envs=4, num_agents=2):
+    env_cfg = EnvConfig(num_agents=num_agents, ep_time=1.0,
+                        neighbor_obs_type="pos_vel", neighbor_visible_num=1,
+                        quads_mode="static_same_goal", dtype=jnp.float32)
+    ppo_cfg = PPOConfig(rollout=8, batch_size=16, num_envs=num_envs)
+    model = ActorCritic(self_obs_dim=18, neighbor_obs_dim=6, num_neighbors=1,
+                        encoder_type="corl", neighbor_encoder_type="attention",
+                        rnn_size=16, neighbor_hidden=16)
+    dyn = make_dynamics_params()
+    pbt_cfg = PBTConfig(num_policies=num_policies, replace_fraction=0.5,
+                        mutation_rate=1.0, replace_reward_gap=0.0)
+    return MixedPBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg, seed=0)
+
+
+def test_mixed_iteration_trains_all_policies():
+    r = _runner()
+    p0 = jax.device_get(r.params)
+    metrics, infos = r.iteration()
+    losses = np.asarray(jax.device_get(metrics["loss"]))
+    assert losses.shape == (2,) and np.all(np.isfinite(losses))
+    p1 = jax.device_get(r.params)
+    # both policy slices moved (each had assigned agents in the batch)
+    leaf0, leaf1 = jax.tree.leaves(p0)[0], jax.tree.leaves(p1)[0]
+    assert not np.allclose(leaf0[0], leaf1[0])
+    assert not np.allclose(leaf0[1], leaf1[1])
+    # assignments cover both policies
+    a = np.asarray(jax.device_get(r.assignment))
+    assert set(np.unique(a)) <= {0, 1}
+
+
+def test_mixed_per_policy_reward_coeffs_flow():
+    r = _runner()
+    r.coeffs[0]["quadcol_bin"] = 1.0
+    r.coeffs[1]["quadcol_bin"] = 99.0
+    stack = r._coeff_stack()
+    assert float(stack.quadcol_bin[1]) == 99.0
+    r.iteration()  # runs with per-agent (N,)-shaped coeff leaves
+    coeff = jax.device_get(r.env_states.rew_coeff.quadcol_bin)
+    a = np.asarray(jax.device_get(r.assignment))
+    expect = np.where(a == 1, 99.0, 1.0)
+    np.testing.assert_allclose(np.asarray(coeff), expect)
+
+
+def test_mixed_pbt_round_replaces_and_mutates():
+    r = _runner()
+    r.iteration()
+    # force a clear ranking
+    r.objective_hist[0] = [100.0] * 5
+    r.objective_hist[1] = [-100.0] * 5
+    before = jax.device_get(jax.tree.leaves(r.params)[0])
+    c_before = dict(r.coeffs[1])
+    r.pbt_round()
+    after = jax.device_get(jax.tree.leaves(r.params)[0])
+    np.testing.assert_allclose(after[1], after[0])   # 1 adopted 0's slice
+    assert not np.allclose(before[1], after[1])
+    assert r.coeffs[1] != c_before                    # mutated (rate=1.0)
+    assert r.objective_hist[1] == []
