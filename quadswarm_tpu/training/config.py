@@ -157,6 +157,14 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--nonlinearity", default="tanh", type=str)
     p.add_argument("--initial_stddev", default=1.0, type=float)
     p.add_argument("--save_every_sec", default=300, type=int)
+    p.add_argument("--debug_checks", default=False, type=str2bool,
+                   help="enable jax_debug_nans (raise at the op producing a "
+                        "NaN; the jit equivalent of the reference's "
+                        "non-finite-reward guard)")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="write a JAX device-profiler trace of post-compile "
+                        "iterations here (view in TensorBoard/Perfetto)")
+    p.add_argument("--profile_iters", default=3, type=int)
     p.add_argument("--log_every_iters", default=10, type=int)
     p.add_argument("--with_wandb", default=False, type=str2bool)
     p.add_argument("--wandb_project", default="quadswarm-tpu", type=str)

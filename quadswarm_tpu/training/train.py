@@ -108,18 +108,37 @@ def main(argv=None) -> int:
                           entity=getattr(args, "wandb_user", None),
                           group=getattr(args, "wandb_group", None),
                           name=args.experiment))
+    if args.debug_checks:
+        from quadswarm_tpu.utils.debug import enable_debug_checks
+        enable_debug_checks()
     last_save = time.time()
     it = 0
-    t0 = time.time()
+    last_t, last_steps = time.time(), trainer.env_steps
+    profiler = None
     try:
         while trainer.env_steps < args.train_for_env_steps:
             metrics, infos = trainer.iteration()
             it += 1
+            if args.profile_dir and it == 2:
+                # start AFTER iteration 1 so compilation isn't in the trace
+                import jax
+                jax.profiler.start_trace(args.profile_dir)
+                profiler = args.profile_dir
+            if args.profile_dir and it == 2 + args.profile_iters:
+                import jax
+                jax.profiler.stop_trace()
+                profiler = None
+                print(f"profiler trace written to {args.profile_dir}",
+                      flush=True)
             if it % args.log_every_iters == 0:
                 import jax
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m.update(aggregate_episode_stats(jax.device_get(infos)))
-                m["perf/sps"] = trainer.env_steps / max(time.time() - t0, 1e-9)
+                now = time.time()
+                # windowed SPS (first window absorbs jit compilation)
+                m["perf/sps"] = ((trainer.env_steps - last_steps)
+                                 / max(now - last_t, 1e-9))
+                last_t, last_steps = now, trainer.env_steps
                 logger.log(trainer.env_steps, m)
                 print(f"steps={trainer.env_steps:,} sps={m['perf/sps']:,.0f} "
                       f"loss={m['loss']:.4f} rew={m['reward_mean']:.4f}",
@@ -128,6 +147,9 @@ def main(argv=None) -> int:
                 save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
                 last_save = time.time()
     finally:
+        if profiler is not None:
+            import jax
+            jax.profiler.stop_trace()
         save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
         logger.close()
     return 0
