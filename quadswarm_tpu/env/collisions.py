@@ -36,30 +36,6 @@ def collision_matrix(pos: jax.Array, collision_threshold) -> tuple[jax.Array, ja
     return dist, collide
 
 
-def _rand_unit(key: jax.Array, shape, dtype) -> jax.Array:
-    v = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + EPS)
-
-
-def _compute_new_vel(key, max_vel_magn, vel, vel_shift, low=0.2, high=0.8):
-    """Post-collision speed-decayed velocity (collisions/utils.py:7-18)."""
-    decay = jax.random.uniform(key, vel.shape[:-1], vel.dtype, low, high)
-    vel_new = vel + vel_shift
-    mag = jnp.linalg.norm(vel_new, axis=-1, keepdims=True)
-    direction = vel_new / (mag + EPS)
-    new_mag = jnp.minimum(mag[..., 0] * decay, max_vel_magn)
-    return direction * new_mag[..., None]
-
-
-def _compute_new_omega(key, shape, dtype, magn_scale=20.0):
-    """Random omega kick (collisions/utils.py:21-33)."""
-    k1, k2 = jax.random.split(key)
-    omega_max = magn_scale * jnp.pi
-    direction = _rand_unit(k1, shape + (3,), dtype)
-    mag = jax.random.uniform(k2, shape, dtype, omega_max / 2, omega_max)
-    return direction * mag[..., None]
-
-
 def drone_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
                              omega: jax.Array, new_pair_mask: jax.Array):
     """Apply elastic-with-noise collision response for flagged pairs.
@@ -117,47 +93,56 @@ def drone_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     vn_b = jnp.sum(vel_b * coll_norm, axis=-1)
     vel_change = (vn_b - vn_a)[..., None] * coll_norm      # shift for drone a
 
-    k_noise, k_decay, k_omega = jax.random.split(key, 3)
-    pair_noise_key = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(k_noise, (n,) + k_noise.shape), pair_id)
+    # ONE fold per drone (the pair id — both drones of a mutual pair derive
+    # identical draws, preserving the momentum pairing), then all random
+    # numbers in two batched calls.  The previous form used ~14 tiny RNG ops
+    # (per-attempt fold_ins, separate noise/decay/omega key families) that
+    # ran every tick at (E, N) shapes and were pure op-count overhead on TPU
+    # (~20% of the whole env step).
+    k_pair = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(key, (n,) + key.shape), pair_id)
+    ks = jax.vmap(lambda k: jax.random.split(k, 2))(k_pair)
+    # normals: 3 attempts x (conserved, small_a, small_b) x 3 components
+    draw = jax.vmap(lambda k: jax.random.normal(k, (3, 3, 3), dtype))(
+        ks[:, 0])
+    # uniforms: decay_a, decay_b, omega direction (3), omega magnitude
+    uni = jax.vmap(lambda k: jax.random.uniform(k, (6,), dtype))(ks[:, 1])
 
-    # 3-attempt noise resampling: keep the first valid candidate, else the
-    # last one — fixed-trip version of the reference's `for _ in range(3)`
-    # with break (collisions/quadrotors.py:35-47).
-    shift_a = shift_b = None
-    chosen = jnp.zeros((n,), bool)
-    for attempt in range(3):
-        kab = jax.vmap(lambda k: jax.random.fold_in(k, attempt))(pair_noise_key)
-        draw = jax.vmap(lambda k: jax.random.normal(k, (3, 3), dtype))(kab)
-        cons, small_a, small_b = 0.8 * draw[:, 0], 0.15 * draw[:, 1], 0.15 * draw[:, 2]
-        cand_a = vel_change + cons + small_a
-        cand_b = -vel_change - cons + small_b
-        if shift_a is None:
-            shift_a, shift_b = cand_a, cand_b
-        else:
-            shift_a = jnp.where(chosen[:, None], shift_a, cand_a)
-            shift_b = jnp.where(chosen[:, None], shift_b, cand_b)
-        d_a = jnp.sum((vel_a + cand_a) * coll_norm, axis=-1)
-        d_b = jnp.sum((vel_b + cand_b) * coll_norm, axis=-1)
-        chosen = chosen | ((d_a > 0) & (d_b < 0))
+    # 3-attempt noise resampling vectorized over the attempt axis: pick the
+    # first candidate whose post-collision normal velocities separate, else
+    # the last — the reference's `for _ in range(3)` with break
+    # (collisions/quadrotors.py:35-47).
+    cons = 0.8 * draw[:, :, 0]
+    small_a = 0.15 * draw[:, :, 1]
+    small_b = 0.15 * draw[:, :, 2]
+    cand_a = vel_change[:, None, :] + cons + small_a       # (N, 3, 3)
+    cand_b = -vel_change[:, None, :] - cons + small_b
+    d_a = jnp.sum((vel_a[:, None, :] + cand_a) * coll_norm[:, None, :], -1)
+    d_b = jnp.sum((vel_b[:, None, :] + cand_b) * coll_norm[:, None, :], -1)
+    valid = (d_a > 0) & (d_b < 0)                          # (N, 3)
+    pick = jnp.where(jnp.any(valid, axis=1), jnp.argmax(valid, axis=1), 2)
+    hot = jax.nn.one_hot(pick, 3, dtype=dtype)[..., None]  # (N, 3, 1)
+    shift_a = jnp.sum(cand_a * hot, axis=1)
+    shift_b = jnp.sum(cand_b * hot, axis=1)
 
     shift = jnp.where(is_a[:, None], shift_a, shift_b)
     max_vel = jnp.maximum(jnp.linalg.norm(vel_a, axis=-1),
                           jnp.linalg.norm(vel_b, axis=-1))
-    pair_decay_key = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(k_decay, (n,) + k_decay.shape), pair_id)
-    decay = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype, 0.2, 0.8))(
-        pair_decay_key)
-    decay = jnp.where(is_a, decay[:, 0], decay[:, 1])
+    decay = 0.2 + 0.6 * jnp.where(is_a, uni[:, 0], uni[:, 1])
     vel_hit = vel + shift
     hit_mag = jnp.linalg.norm(vel_hit, axis=-1, keepdims=True)
     direction = vel_hit / (hit_mag + EPS)
     new_speed = jnp.minimum(hit_mag[..., 0] * decay, max_vel)
     new_vel = direction * new_speed[..., None]
 
-    pair_omega_key = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(k_omega, (n,) + k_omega.shape), pair_id)
-    kick = jax.vmap(lambda k: _compute_new_omega(k, (), dtype))(pair_omega_key)
+    # omega kick (collisions/utils.py:21-33): random unit direction scaled
+    # by a magnitude in [omega_max/2, omega_max]
+    kick_dir = 2.0 * uni[:, 2:5] - 1.0
+    kick_dir = kick_dir / (jnp.linalg.norm(kick_dir, axis=-1,
+                                           keepdims=True) + EPS)
+    omega_max = jnp.asarray(20.0 * jnp.pi, dtype)  # magn_scale * pi
+    kick_mag = omega_max * (0.5 + 0.5 * uni[:, 5])
+    kick = kick_dir * kick_mag[:, None]
     omega_new = omega + jnp.where(is_a[:, None], kick, -kick)
 
     vel_out = jnp.where(active[:, None], new_vel, vel)
@@ -184,25 +169,38 @@ def obstacle_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     vel_magn = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     new_vel = vel_magn * coll_norm
 
-    # 3-attempt directional noise (reference loops i in range(3) w/ break)
-    k_noise, k_decay, k_omega = jax.random.split(key, 3)
-    noise = jnp.zeros_like(vel)
-    chosen = jnp.zeros((n,), bool)
-    for attempt in range(3):
-        ka, kb = jax.random.split(jax.random.fold_in(k_noise, attempt))
-        cand = (0.1 * jax.random.normal(ka, (n, 3), dtype)
-                + 0.05 * jax.random.normal(kb, (n, 3), dtype))
-        valid = jnp.sum((new_vel + cand) * coll_norm, axis=-1) > 0
-        take = valid & ~chosen
-        noise = jnp.where(take[:, None], cand, noise)
-        chosen = chosen | valid
+    # 3-attempt directional noise (reference loops i in range(3) w/ break),
+    # vectorized over the attempt axis with all randomness in two batched
+    # calls (see drone_collision_response for why).
+    k_noise, k_uni = jax.random.split(key)
+    draw = jax.random.normal(k_noise, (n, 3, 2, 3), dtype)
+    cand = 0.1 * draw[:, :, 0] + 0.05 * draw[:, :, 1]      # (N, 3, 3)
+    valid = jnp.sum((new_vel[:, None, :] + cand) * coll_norm[:, None, :],
+                    axis=-1) > 0
+    # noise stays zero when no attempt is valid (reference keeps none)
+    pick_hot = jax.nn.one_hot(jnp.argmax(valid, axis=1), 3,
+                              dtype=dtype)[..., None]
+    noise = jnp.where(jnp.any(valid, axis=1)[:, None],
+                      jnp.sum(cand * pick_hot, axis=1), 0.0)
+    uni = jax.random.uniform(k_uni, (n, 5), dtype)
 
     inside = jnp.linalg.norm(pos - obstacle_pos, axis=-1) < obstacle_size / 2
     shift = new_vel - vel + noise
-    vel_bounce = _compute_new_vel(k_decay, vel_magn[..., 0], vel, shift)
-    vel_inside = _compute_new_vel(k_decay, vel_magn[..., 0], vel, shift, low=1.0, high=1.0)
+    decay = 0.2 + 0.6 * uni[:, 0]
+    vel_hit = vel + shift
+    hit_mag = jnp.linalg.norm(vel_hit, axis=-1, keepdims=True)
+    hdir = vel_hit / (hit_mag + EPS)
+    vel_bounce = hdir * jnp.minimum(hit_mag[..., 0] * decay,
+                                    vel_magn[..., 0])[..., None]
+    # inside the cylinder: no speed decay (low=high=1.0 in the reference)
+    vel_inside = hdir * jnp.minimum(hit_mag[..., 0],
+                                    vel_magn[..., 0])[..., None]
     vel_new = jnp.where(inside[:, None], vel_inside, vel_bounce)
-    omega_new = omega + _compute_new_omega(k_omega, (n,), dtype, magn_scale=1.0)
+    kick_dir = 2.0 * uni[:, 1:4] - 1.0
+    kick_dir = kick_dir / (jnp.linalg.norm(kick_dir, axis=-1,
+                                           keepdims=True) + EPS)
+    omega_max = jnp.asarray(jnp.pi, dtype)                 # magn_scale=1.0
+    omega_new = omega + kick_dir * (omega_max * (0.5 + 0.5 * uni[:, 4]))[:, None]
 
     vel_out = jnp.where(hit_mask[:, None], vel_new, vel)
     omega_out = jnp.where(hit_mask[:, None], omega_new, omega)
@@ -216,27 +214,32 @@ def wall_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     dtype = vel.dtype
     lo = jnp.asarray(room_box[0], dtype)
     hi = jnp.asarray(room_box[1], dtype)
-    k_speed, k_dir, k_dx, k_dy, k_dz, k_omega = jax.random.split(key, 6)
+    # all randomness in one batched uniform call (op-count: was 6 splits +
+    # 5 draws + the omega helper's 2 more, every tick)
+    u = jax.random.uniform(key, (n, 11), dtype)
 
     speed = jnp.linalg.norm(vel, axis=-1)
-    u = jax.random.uniform(k_speed, (n,), dtype)
-    real_speed = jnp.clip((0.2 + 0.6 * u) * speed, 0.1, 6.0)
+    real_speed = jnp.clip((0.2 + 0.6 * u[:, 0]) * speed, 0.1, 6.0)
 
-    direction = jax.random.uniform(k_dir, (n, 3), dtype, -1.0, 1.0)
-    dx_pos = jax.random.uniform(k_dx, (n,), dtype, 0.1, 1.0)
-    dy_pos = jax.random.uniform(k_dy, (n,), dtype, 0.1, 1.0)
+    direction = 2.0 * u[:, 1:4] - 1.0
+    dx_pos = 0.1 + 0.9 * u[:, 4]
+    dy_pos = 0.1 + 0.9 * u[:, 5]
     at_x_lo = pos[:, 0] == lo[0]
     at_x_hi = pos[:, 0] == hi[0]
     at_y_lo = pos[:, 1] == lo[1]
     at_y_hi = pos[:, 1] == hi[1]
     dirx = jnp.where(at_x_lo, dx_pos, jnp.where(at_x_hi, -dx_pos, direction[:, 0]))
     diry = jnp.where(at_y_lo, dy_pos, jnp.where(at_y_hi, -dy_pos, direction[:, 1]))
-    dirz = jax.random.uniform(k_dz, (n,), dtype, -1.0, -0.5)
+    dirz = -1.0 + 0.5 * u[:, 6]
     direction = jnp.stack([dirx, diry, dirz], axis=-1)
     direction = direction / (jnp.linalg.norm(direction, axis=-1, keepdims=True) + EPS)
 
     vel_new = real_speed[:, None] * direction
-    omega_new = omega + _compute_new_omega(k_omega, (n,), dtype)
+    kick_dir = 2.0 * u[:, 7:10] - 1.0
+    kick_dir = kick_dir / (jnp.linalg.norm(kick_dir, axis=-1,
+                                           keepdims=True) + EPS)
+    omega_max = jnp.asarray(20.0 * jnp.pi, dtype)
+    omega_new = omega + kick_dir * (omega_max * (0.5 + 0.5 * u[:, 10]))[:, None]
     vel_out = jnp.where(hit_mask[:, None], vel_new, vel)
     omega_out = jnp.where(hit_mask[:, None], omega_new, omega)
     return vel_out, omega_out
@@ -247,16 +250,19 @@ def ceiling_collision_response(key: jax.Array, vel: jax.Array, omega: jax.Array,
     """Randomized damped bounce off the ceiling (collisions/room.py:91-113)."""
     n = vel.shape[0]
     dtype = vel.dtype
-    k_speed, k_dir, k_dz, k_omega = jax.random.split(key, 4)
+    u = jax.random.uniform(key, (n, 10), dtype)  # one batched draw
     speed = jnp.linalg.norm(vel, axis=-1)
-    u = jax.random.uniform(k_speed, (n,), dtype)
-    real_speed = jnp.clip((0.2 + 0.6 * u) * speed, 0.1, 6.0)
-    direction = jax.random.uniform(k_dir, (n, 3), dtype, -1.0, 1.0)
-    dirz = jax.random.uniform(k_dz, (n,), dtype, -1.0, -0.5)
-    direction = direction.at[:, 2].set(dirz)
+    real_speed = jnp.clip((0.2 + 0.6 * u[:, 0]) * speed, 0.1, 6.0)
+    dirxy = 2.0 * u[:, 1:3] - 1.0
+    dirz = -1.0 + 0.5 * u[:, 4]
+    direction = jnp.concatenate([dirxy, dirz[:, None]], axis=-1)
     direction = direction / (jnp.linalg.norm(direction, axis=-1, keepdims=True) + EPS)
     vel_new = real_speed[:, None] * direction
-    omega_new = omega + _compute_new_omega(k_omega, (n,), dtype)
+    kick_dir = 2.0 * u[:, 5:8] - 1.0
+    kick_dir = kick_dir / (jnp.linalg.norm(kick_dir, axis=-1,
+                                           keepdims=True) + EPS)
+    omega_max = jnp.asarray(20.0 * jnp.pi, dtype)
+    omega_new = omega + kick_dir * (omega_max * (0.5 + 0.5 * u[:, 8]))[:, None]
     vel_out = jnp.where(hit_mask[:, None], vel_new, vel)
     omega_out = jnp.where(hit_mask[:, None], omega_new, omega)
     return vel_out, omega_out
