@@ -116,7 +116,9 @@ def ou_noise_step(ou_state: jax.Array, key: jax.Array,
     dx = theta * (0.0 - ou_state) + sigma * jax.random.normal(
         key, ou_state.shape, ou_state.dtype
     )
-    return ou_state + dx
+    # keep the carried dtype: f32 params would otherwise promote a bf16
+    # state to f32 and break the scan carry under dtype=bfloat16
+    return (ou_state + dx).astype(ou_state.dtype)
 
 
 def _motor_filter(params: Any, thrust_cmds: jax.Array, thrust_noise: jax.Array,
