@@ -320,3 +320,62 @@ def flax_to_c_model(variables: dict, output_path: str,
                                           obstacle_dim, output_path, testing)
     layers = actor_mlp_layers(variables)
     return generate_c_model(layers, output_path, testing)
+
+
+def main(argv=None) -> int:
+    """CLI (reference sim2real.py:29-43,687: --torch_model_dir/--output_dir
+    --model_type): load a trained experiment's config + latest checkpoint
+    and emit the dependency-free C actor."""
+    import argparse
+    import json
+    import os
+
+    p = argparse.ArgumentParser("quadswarm_tpu.sim2real")
+    p.add_argument("--model_dir", required=True,
+                   help="experiment dir (train_dir/<experiment>) with "
+                        "config.json + checkpoint_p0/")
+    p.add_argument("--output_dir", default="c_models")
+    p.add_argument("--output_model_name", default="model.c")
+    p.add_argument("--model_type", choices=["single", "attention"],
+                   default="single",
+                   help="single: MLP-chain actor; attention: the sim2real "
+                        "single-head-attention encoder")
+    p.add_argument("--testing", default=False,
+                   type=lambda s: str(s).lower() in ("1", "true", "yes"))
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from quadswarm_tpu.training.config import (
+        env_config_from_args, model_from_args,
+    )
+    from quadswarm_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+    with open(os.path.join(args.model_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    ns = argparse.Namespace(**cfg_dict)
+    env_cfg = env_config_from_args(ns)
+    model = model_from_args(ns, env_cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, env_cfg.obs_dim)))
+    cp = latest_checkpoint(os.path.join(args.model_dir, "checkpoint_p0"))
+    if cp is None:
+        raise SystemExit(f"no checkpoint under {args.model_dir}")
+    from flax import serialization
+    payload = load_checkpoint(cp)
+    params = serialization.from_state_dict(params, payload["params"])
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, args.output_model_name)
+    flax_to_c_model(
+        jax.device_get(params), out,
+        encoder_type="attention" if args.model_type == "attention" else "corl",
+        self_dim=18, testing=args.testing)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

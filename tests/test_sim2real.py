@@ -82,3 +82,32 @@ def test_attention_sim2real_export(tmp_path):
     mean, _, _ = model.apply(variables, jnp.asarray(obs))
     c_out = c_forward(lib, obs)
     np.testing.assert_allclose(np.asarray(mean), c_out, atol=2e-5)
+
+
+def test_sim2real_cli_from_trained_checkpoint(tmp_path):
+    """Train a tiny experiment through the CLI, export the checkpoint to C
+    via the sim2real CLI (reference sim2real.py:29-43 surface), and compile
+    the result with g++."""
+    import subprocess
+
+    from quadswarm_tpu.sim2real.codegen import main as sim2real_main
+    from quadswarm_tpu.training.train import main as train_main
+
+    train_main([
+        "--experiment", "s2r", "--train_dir", str(tmp_path),
+        "--train_for_env_steps", "500", "--num_envs", "2",
+        "--rollout", "4", "--batch_size", "8",
+        "--quads_num_agents", "1", "--quads_episode_duration", "1.0",
+        "--quads_neighbor_obs_type", "none",
+        "--quads_neighbor_visible_num", "0",
+        "--quads_neighbor_encoder_type", "no_encoder",
+        "--rnn_size", "16",
+    ])
+    out_dir = tmp_path / "c"
+    assert sim2real_main([
+        "--model_dir", str(tmp_path / "s2r"),
+        "--output_dir", str(out_dir), "--testing", "True"]) == 0
+    c_path = out_dir / "model.c"
+    assert c_path.exists()
+    subprocess.run(["g++", "-c", str(c_path), "-o", str(out_dir / "m.o")],
+                   check=True)
