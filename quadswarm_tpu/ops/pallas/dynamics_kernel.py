@@ -319,24 +319,19 @@ def _to_planes(state, thrust_cmds, noise, yaw, rows):
     b = state.pos.shape[0]
     pad = rows * LANES - b
 
-    def plane(x):
-        x = jnp.asarray(x, jnp.float32)
-        return jnp.pad(x, (0, pad)).reshape(rows, LANES)
-
-    planes = (
-        [plane(state.pos[:, i]) for i in range(3)]
-        + [plane(state.vel[:, i]) for i in range(3)]
-        + [plane(state.rot[:, i // 3, i % 3]) for i in range(9)]
-        + [plane(state.omega[:, i]) for i in range(3)]
-        + [plane(state.thrust_cmds_damp[:, i]) for i in range(4)]
-        + [plane(state.thrust_rot_damp[:, i]) for i in range(4)]
-        + [plane(state.on_floor.astype(jnp.float32)),
-           plane(state.step_count.astype(jnp.float32))]
-        + [plane(thrust_cmds[:, i]) for i in range(4)]
-        + [plane(noise[:, i]) for i in range(4)]
-        + [plane(jnp.cos(yaw)), plane(jnp.sin(yaw))]
-    )
-    return jnp.stack(planes)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    # ONE concat + ONE transpose instead of ~35 per-column slice/pad/stack
+    # ops — the marshalling previously cost several times the kernel itself.
+    cols = jnp.concatenate([
+        f32(state.pos), f32(state.vel), f32(state.rot.reshape(b, 9)),
+        f32(state.omega), f32(state.thrust_cmds_damp),
+        f32(state.thrust_rot_damp),
+        f32(state.on_floor)[:, None], f32(state.step_count)[:, None],
+        f32(thrust_cmds), f32(noise),
+        jnp.cos(f32(yaw))[:, None], jnp.sin(f32(yaw))[:, None],
+    ], axis=1)                                           # (B, N_IN)
+    planes = jnp.pad(cols.T, ((0, 0), (0, pad)))
+    return planes.reshape(planes.shape[0], rows, LANES)
 
 
 def dynamics_step_flat(params, cfg, state, thrust_cmds, keys,
@@ -398,20 +393,21 @@ def dynamics_step_planes(params, cfg, state, thrust_cmds, noise, yaw,
         interpret=interpret,
     )(pvec, stacked)
 
-    flat = out.reshape(N_OUT, rows * LANES)[:, :b]
+    # ONE transpose back to (B, N_OUT), then cheap column slices (field
+    # offsets are contiguous — see the O_* table above)
+    cols = out.reshape(N_OUT, rows * LANES)[:, :b].T
     dtype = state.pos.dtype
-    vec3 = lambda o: jnp.stack([flat[o], flat[o + 1], flat[o + 2]], -1).astype(dtype)
+    sl = lambda o, k: cols[:, o:o + k].astype(dtype)
     return state.replace(
-        pos=vec3(O_POS), vel=vec3(O_VEL),
-        rot=jnp.stack([flat[O_ROT + i] for i in range(9)], -1)
-            .reshape(b, 3, 3).astype(dtype),
-        omega=vec3(O_OMEGA),
-        thrust_cmds_damp=jnp.stack([flat[O_CMDSD + i] for i in range(4)], -1).astype(dtype),
-        thrust_rot_damp=jnp.stack([flat[O_ROTD + i] for i in range(4)], -1).astype(dtype),
-        acc=vec3(O_ACC), accelerometer=vec3(O_ACCEL),
-        on_floor=flat[O_ONFLOOR] > 0.5,
-        step_count=flat[O_STEPCNT].astype(jnp.int32),
-        crashed_floor=flat[O_CR_FLOOR] > 0.5,
-        crashed_wall=flat[O_CR_WALL] > 0.5,
-        crashed_ceiling=flat[O_CR_CEIL] > 0.5,
+        pos=sl(O_POS, 3), vel=sl(O_VEL, 3),
+        rot=sl(O_ROT, 9).reshape(b, 3, 3),
+        omega=sl(O_OMEGA, 3),
+        thrust_cmds_damp=sl(O_CMDSD, 4),
+        thrust_rot_damp=sl(O_ROTD, 4),
+        acc=sl(O_ACC, 3), accelerometer=sl(O_ACCEL, 3),
+        on_floor=cols[:, O_ONFLOOR] > 0.5,
+        step_count=cols[:, O_STEPCNT].astype(jnp.int32),
+        crashed_floor=cols[:, O_CR_FLOOR] > 0.5,
+        crashed_wall=cols[:, O_CR_WALL] > 0.5,
+        crashed_ceiling=cols[:, O_CR_CEIL] > 0.5,
     )
