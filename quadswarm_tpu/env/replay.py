@@ -198,8 +198,11 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     # Sample a replay event?
     choice_idx = jax.random.randint(k_choice, (), 0, jnp.maximum(buffer_count, 1))
     choice_hot = jnp.arange(BUFFER_SLOTS) == choice_idx
+    # Read the PRE-update counts: when a collision write and episode end land
+    # on the same tick and choice_idx equals the just-written slot, the slot's
+    # old MAX_REPLAYS count must still veto the replay (reference semantics).
     replayable = jnp.sum(
-        jnp.where(choice_hot, num_replayed, 0)) < MAX_REPLAYS
+        jnp.where(choice_hot, rstate.num_replayed, 0)) < MAX_REPLAYS
     do_replay = (done & activated & (buffer_count > 0) & replayable
                  & (jax.random.uniform(k_sample, ()) < sample_prob))
     if defer_ring_writes:

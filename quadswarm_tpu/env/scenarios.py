@@ -468,6 +468,24 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
     # run_away duration is fixed 1 s (run_away.py:17)
     st = st.replace(interval=jnp.where(
         mode == MODE_IDS["run_away"], jnp.int32(cfg.control_freq), st.interval))
+
+    # Bezier modes: sample an initial curve at reset so the goals are never
+    # the zero-node degenerate curve (origin at floor level) even if the
+    # tick-1 resample event is somehow missed.  The reference samples lazily
+    # at tick 1 (ep_rand_bezier.py:20-39); sampling here too is invisible to
+    # parity (the tick-1 event overwrites these nodes with the tick key).
+    is_bez_free = mode == MODE_IDS["ep_rand_bezier"]
+    is_bez_obst = mode == MODE_IDS["o_ep_rand_bezier"]
+    kbez = jax.random.fold_in(key, 99)
+    free_nodes = _sample_bezier_nodes(kbez, st.goals[0], cfg.room_dims,
+                                      st.formation_size, dtype, 30.0,
+                                      0.0, 0.0, False)
+    obst_nodes = _sample_bezier_nodes(kbez, st.goals[0], cfg.room_dims,
+                                      st.formation_size, dtype, 5.0,
+                                      1.5, 3.0, True)
+    nodes = jnp.where(is_bez_obst, obst_nodes, free_nodes)
+    st = st.replace(bezier_nodes=jnp.where(is_bez_free | is_bez_obst,
+                                           nodes, st.bezier_nodes))
     return st
 
 
@@ -830,11 +848,12 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
       3. those envs are gathered into `capacity` fixed slots (lax.top_k),
          stepped with phase="slow", and scattered back.
 
-    Results are bit-identical to vmapped scenario_step whenever the event
-    count fits the capacity (same per-env keys reach the same branch math);
-    overflowing events — vanishingly rare at the default capacity E/16,
-    ~25x the mean rate — are dropped for that tick (the goal teleport simply
-    happens at the env's next interval tick).
+    Results are bit-identical to vmapped scenario_step ALWAYS: whenever the
+    event count exceeds the capacity (default max(32, E/64)) — which happens
+    deterministically when envs are tick-synchronized (all envs reset
+    together, so e.g. every ep_rand_bezier env in a mix fires its 5 s node
+    resample on the same tick) — a lax.cond falls back to the uncompacted
+    all-envs slow path for that tick instead of dropping events.
     """
     e = ticks.shape[0]
     has_obst = obst_active is not None
@@ -871,33 +890,46 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
     # Stream-compact event env indices into `cap` slots via cumsum+scatter
     # (O(E), no sort — cheaper than lax.top_k which lowers to a full sort).
     slot = jnp.cumsum(event.astype(jnp.int32)) - 1
-    dest = jnp.where(event & (slot < cap), slot, cap)      # overflow -> dump
-    idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
-        jnp.arange(e, dtype=jnp.int32), mode="drop")[:cap]
-    valid = jnp.arange(cap) < jnp.minimum(slot[-1] + 1, cap)
-    take = lambda x: x[idx]
-    sub = jax.tree.map(take, fast)
-    slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
-                              obst_active[idx], obst_centers[idx])
-    bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
-    merged = jax.tree.map(
-        lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
-    # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a scatter
-    # with cap batch-varying indices, which XLA serializes into cap
-    # sequential row writes PER LEAF on TPU (~20 leaves — measured ~14% of
-    # the whole env step).  Each written row has exactly one hot slot and
-    # `merged` is always finite (invalid slots carry the gathered fast
-    # values), so the einsum reproduces the scatter bit-for-bit.
-    hot = (idx[:, None] == jnp.arange(e)[None, :]) & valid[:, None]  # (cap, E)
-    row_written = jnp.any(hot, axis=0)
+    n_events = slot[-1] + 1
 
-    def merge(full, m):
-        if m.dtype == jnp.bool_:
-            scat = jnp.einsum('ce,c...->e...', hot.astype(jnp.float32),
-                              m.astype(jnp.float32)) > 0.5
-        else:
-            scat = jnp.einsum('ce,c...->e...', hot.astype(m.dtype), m)
-        return jnp.where(
-            row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
+    def compacted(fast):
+        dest = jnp.where(event & (slot < cap), slot, cap)  # overflow -> dump
+        idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
+            jnp.arange(e, dtype=jnp.int32), mode="drop")[:cap]
+        valid = jnp.arange(cap) < jnp.minimum(n_events, cap)
+        take = lambda x: x[idx]
+        sub = jax.tree.map(take, fast)
+        slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
+                                  obst_active[idx], obst_centers[idx])
+        bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
+        merged = jax.tree.map(
+            lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
+        # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a scatter
+        # with cap batch-varying indices, which XLA serializes into cap
+        # sequential row writes PER LEAF on TPU (~20 leaves — measured ~14% of
+        # the whole env step).  Each written row has exactly one hot slot and
+        # `merged` is always finite (invalid slots carry the gathered fast
+        # values), so the einsum reproduces the scatter bit-for-bit.
+        hot = (idx[:, None] == jnp.arange(e)[None, :]) & valid[:, None]
+        row_written = jnp.any(hot, axis=0)
 
-    return jax.tree.map(merge, fast, merged)
+        def merge(full, m):
+            if m.dtype == jnp.bool_:
+                scat = jnp.einsum('ce,c...->e...', hot.astype(jnp.float32),
+                                  m.astype(jnp.float32)) > 0.5
+            else:
+                scat = jnp.einsum('ce,c...->e...', hot.astype(m.dtype), m)
+            return jnp.where(
+                row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
+
+        return jax.tree.map(merge, fast, merged)
+
+    def uncompacted(fast):
+        # Overflow (> cap events this tick — the tick-synchronized case):
+        # run the slow phase on every env so no event is ever dropped.
+        slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
+        bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
+        return jax.tree.map(
+            lambda a, b: jnp.where(bmask(event, a), a, b), slow, fast)
+
+    return jax.lax.cond(n_events > cap, uncompacted, compacted, fast)

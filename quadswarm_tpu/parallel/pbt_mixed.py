@@ -126,7 +126,10 @@ def masked_ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch,
     obs, actions, old_log_prob, old_value, advantages, returns = batch
     mean, log_std, value = model.apply(params, obs)
     log_prob = gaussian_log_prob(mean, log_std, actions)
-    ratio = jnp.exp(log_prob - old_log_prob)
+    # Clamp the log-ratio: out-of-mask samples belong to OTHER policies, and
+    # once policies diverge log_prob - old_log_prob can overflow exp to inf;
+    # inf * mask(0) = NaN would poison the summed loss for every policy.
+    ratio = jnp.exp(jnp.clip(log_prob - old_log_prob, -20.0, 20.0))
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     madv = advantages * mask
     mmean = jnp.sum(madv) / denom
@@ -311,3 +314,68 @@ class MixedPBTRunner:
                     mutated[name] = float(mutated[name]) * self.rng.uniform(lo, hi)
             self.coeffs[b] = mutated
             self.objective_hist[b] = []
+
+    # --- checkpointing ----------------------------------------------------
+    # Each policy's slice of the stacked pytrees is written as a standard
+    # per-policy checkpoint (checkpoint_p{i}/checkpoint_*.msgpack), so
+    # enjoy/sim2real load mixed-PBT policies exactly like single-policy runs;
+    # runner-level state (coeffs, objective history) goes to pbt_state.json.
+
+    def save(self, train_dir: str, experiment: str, keep: int = 3) -> None:
+        import json
+        import os
+        from types import SimpleNamespace
+
+        from quadswarm_tpu.utils.checkpoint import (
+            checkpoint_dir, save_checkpoint,
+        )
+        params_h, opt_h = jax.device_get((self.params, self.opt_state))
+        for p in range(self.num_policies):
+            st = SimpleNamespace(
+                params=jax.tree.map(lambda x: x[p], params_h),
+                opt_state=jax.tree.map(lambda x: x[p], opt_h),
+                step=0)
+            save_checkpoint(checkpoint_dir(train_dir, experiment, p), st,
+                            self.env_steps, keep=keep)
+        meta = {"coeffs": self.coeffs, "env_steps": self.env_steps,
+                "objective_hist": [h[-50:] for h in self.objective_hist]}
+        with open(os.path.join(train_dir, experiment, "pbt_state.json"),
+                  "w") as f:
+            json.dump(meta, f)
+
+    def restore(self, train_dir: str, experiment: str) -> bool:
+        """Load the latest per-policy checkpoints (all P must exist)."""
+        import json
+        import os
+
+        from flax import serialization
+
+        from quadswarm_tpu.utils.checkpoint import (
+            checkpoint_dir, latest_checkpoint, load_checkpoint,
+        )
+        paths = [latest_checkpoint(checkpoint_dir(train_dir, experiment, p))
+                 for p in range(self.num_policies)]
+        if any(pt is None for pt in paths):
+            return False
+        params_h, opt_h = jax.device_get((self.params, self.opt_state))
+        for p, path in enumerate(paths):
+            payload = load_checkpoint(path)
+            tmpl_p = jax.tree.map(lambda x: x[p], params_h)
+            tmpl_o = jax.tree.map(lambda x: x[p], opt_h)
+            sp = serialization.from_state_dict(tmpl_p, payload["params"])
+            so = serialization.from_state_dict(tmpl_o, payload["opt_state"])
+            self.params = jax.tree.map(
+                lambda full, s: full.at[p].set(jnp.asarray(s)),
+                self.params, sp)
+            self.opt_state = jax.tree.map(
+                lambda full, s: full.at[p].set(jnp.asarray(s)),
+                self.opt_state, so)
+            self.env_steps = int(payload["env_steps"])
+        meta_path = os.path.join(train_dir, experiment, "pbt_state.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.coeffs = [dict(c) for c in meta["coeffs"]]
+            self.env_steps = int(meta["env_steps"])
+            self.objective_hist = [list(h) for h in meta["objective_hist"]]
+        return True

@@ -60,25 +60,34 @@ def main(argv=None) -> int:
             import jax as _jax
             runner = MixedPBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
                                     seed=args.seed, exp_dir=exp_dir)
+            if runner.restore(args.train_dir, args.experiment):
+                print(f"resumed mixed PBT at {runner.env_steps} env steps")
             logger = MetricLogger(exp_dir)
             it, last_round = 0, 0
-            while runner.env_steps < args.train_for_env_steps:
-                metrics, infos = runner.iteration()
-                it += 1
-                if it % args.log_every_iters == 0:
-                    m = {f"policy{p}/loss": float(v) for p, v in enumerate(
-                        _jax.device_get(metrics["loss"]))}
-                    m["reward_mean"] = float(metrics["reward_mean"])
-                    for p, h in enumerate(runner.objective_hist):
-                        if h:
-                            m[f"policy{p}/pbt_objective"] = h[-1]
-                    logger.log(runner.env_steps, m)
-                if (runner.env_steps >= pbt_cfg.start_mutation
-                        and runner.env_steps - last_round
-                        >= pbt_cfg.period_env_steps):
-                    last_round = runner.env_steps
-                    runner.pbt_round()
-            logger.close()
+            last_save = time.time()
+            try:
+                while runner.env_steps < args.train_for_env_steps:
+                    metrics, infos = runner.iteration()
+                    it += 1
+                    if it % args.log_every_iters == 0:
+                        m = {f"policy{p}/loss": float(v) for p, v in enumerate(
+                            _jax.device_get(metrics["loss"]))}
+                        m["reward_mean"] = float(metrics["reward_mean"])
+                        for p, h in enumerate(runner.objective_hist):
+                            if h:
+                                m[f"policy{p}/pbt_objective"] = h[-1]
+                        logger.log(runner.env_steps, m)
+                    if (runner.env_steps >= pbt_cfg.start_mutation
+                            and runner.env_steps - last_round
+                            >= pbt_cfg.period_env_steps):
+                        last_round = runner.env_steps
+                        runner.pbt_round()
+                    if time.time() - last_save > args.save_every_sec:
+                        runner.save(args.train_dir, args.experiment)
+                        last_save = time.time()
+            finally:
+                runner.save(args.train_dir, args.experiment)
+                logger.close()
             return 0
         runner = PBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
                            seed=args.seed, anneal_schedules=anneal,

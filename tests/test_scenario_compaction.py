@@ -74,6 +74,38 @@ def test_compaction_capacity_equals_batch():
     _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=e)
 
 
+def test_compaction_overflow_falls_back_exact():
+    """More events than capacity (the tick-synchronized case: every bezier
+    env fires its 5 s node resample on the same tick) must fall back to the
+    uncompacted slow path — no event may be dropped."""
+    cfg = EnvConfig(num_agents=4, quads_mode="mix")
+    e = 32
+    states = _make_batch(cfg, e, jax.random.PRNGKey(7))
+    # All envs in ep_rand_bezier at a resample tick -> 32 events, capacity 4.
+    modes = jnp.full((e,), MODE_IDS["ep_rand_bezier"], jnp.int32)
+    states = states.replace(scenario=states.scenario.replace(mode=modes))
+    ticks = jnp.full((e,), 500, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(11), e)
+    _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=4)
+
+
+def test_bezier_nodes_initialized_at_reset():
+    """Reset must leave bezier envs with a non-degenerate initial curve
+    (previously zeros -> goals at the floor origin if the tick-1 resample
+    was missed)."""
+    from quadswarm_tpu.env.scenarios import scenario_reset
+
+    scfg = EnvConfig(num_agents=4, quads_mode="ep_rand_bezier"
+                     ).scenario_config()
+    mode = jnp.asarray(MODE_IDS["ep_rand_bezier"], jnp.int32)
+    st = scenario_reset(scfg, jax.random.PRNGKey(0), mode)
+    nodes = np.asarray(st.bezier_nodes)
+    assert np.any(nodes != 0.0)
+    # first control point == current goal (curve starts where the goal is)
+    np.testing.assert_allclose(nodes[:, 0], np.asarray(st.goals[0]),
+                               rtol=1e-6)
+
+
 def test_dynamic_formations_affine_cache():
     """goals_base + size*goals_slope == generate_goals(...) for every
     formation family (the generator is affine in formation_size)."""
