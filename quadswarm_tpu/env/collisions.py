@@ -59,7 +59,6 @@ def drone_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     mutual pair derive identical draws, preserving the momentum-pairing.
     """
     n = pos.shape[0]
-    dtype = vel.dtype
     idx = jnp.arange(n)
 
     # --- partner selection (reference pair iteration order: i<j pairs; a
@@ -71,6 +70,20 @@ def drone_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     first_row = jnp.argmax(upper, axis=0)
     active = any_row | any_col
     partner = jnp.where(any_row, first_col, first_row)
+    return drone_collision_response_indexed(key, pos, vel, omega, active,
+                                            partner)
+
+
+def drone_collision_response_indexed(key: jax.Array, pos: jax.Array,
+                                     vel: jax.Array, omega: jax.Array,
+                                     active: jax.Array, partner: jax.Array):
+    """Collision response given per-drone (active (N,) bool, partner (N,)
+    int32) — the representation the Pallas pair kernel emits
+    (ops/pallas/swarm_interactions.pair_collisions).  partner must follow the
+    reference pair-iteration order: first new j > d, else first new i < d."""
+    n = pos.shape[0]
+    dtype = vel.dtype
+    idx = jnp.arange(n)
 
     # One-hot gather of partner state (vectorized select+reduce beats TPU
     # scalar-indexed gathers by ~an order of magnitude; exact — one nonzero).

@@ -104,11 +104,26 @@ class QuadrotorEnvMulti:
         return [seed]
 
     # ------------------------------------------------------------------ gym API
-    def reset(self, seed: int | None = None, options: Any = None):
+    def reset(self, seed: int | None = None, options: Any = None,
+              obst_density=None, obst_size=None):
+        """Optional obst_density/obst_size override the config for this
+        episode — the hook the reference's replay wrapper uses for obstacle
+        domain randomization (quadrotor_multi.py:339, reset(obst_density=..))."""
         del options
         if seed is not None:
             self.seed(seed)
-        self._state, obs = self._reset_fn(self._split(), self.rew_coeff)
+        if obst_density is not None or obst_size is not None:
+            cfg, params = self.cfg, self.params
+            self._state, obs = jax.jit(
+                lambda k, rc, d, s: env_reset(cfg, params, k, rew_coeff=rc,
+                                              obst_density=d, obst_size=s)
+            )(self._split(), self.rew_coeff,
+              jnp.asarray(obst_density if obst_density is not None
+                          else self.cfg.obst_density, self.cfg.dtype),
+              jnp.asarray(obst_size if obst_size is not None
+                          else self.cfg.obst_size, self.cfg.dtype))
+        else:
+            self._state, obs = self._reset_fn(self._split(), self.rew_coeff)
         return list(np.asarray(obs, np.float32))
 
     def step(self, actions):

@@ -48,6 +48,12 @@ def _per_drone(params: Any) -> bool:
     return jnp.ndim(params.mass) >= 1
 
 
+def _pack_lanes() -> int:
+    """Lane width of the packed pair-history state (use_pallas_pairs)."""
+    from quadswarm_tpu.ops.pallas.swarm_interactions import PACK_LANES
+    return PACK_LANES
+
+
 @struct.dataclass
 class EnvConfig:
     """Static env configuration (mirrors QuadrotorEnvMulti.__init__ kwargs +
@@ -67,7 +73,24 @@ class EnvConfig:
     obst_density: float = struct.field(pytree_node=False, default=0.2)
     obst_size: float = struct.field(pytree_node=False, default=1.0)
     obst_spawn_area: tuple = struct.field(pytree_node=False, default=(6.0, 6.0))
+    # Obstacle domain randomization (--quads_domain_random +
+    # --quads_obst_{density,size}_random): resample density/size per episode
+    # from the reference's grids arange(min, max, 0.05 / 0.1)
+    # (quad_experience_replay.py:76-87,108-120,198-204).
+    obst_density_random: bool = struct.field(pytree_node=False, default=False)
+    obst_density_min: float = struct.field(pytree_node=False, default=0.05)
+    obst_density_max: float = struct.field(pytree_node=False, default=0.2)
+    obst_size_random: bool = struct.field(pytree_node=False, default=False)
+    obst_size_min: float = struct.field(pytree_node=False, default=0.3)
+    obst_size_max: float = struct.field(pytree_node=False, default=0.6)
     use_downwash: bool = struct.field(pytree_node=False, default=False)
+    # Large-swarm pair path: the O(N^2) drone-drone work (collision masks,
+    # proximity penalties, k-nearest neighbor obs) runs in fused Pallas
+    # kernels (ops/pallas/swarm_interactions.py) and the per-env pair history
+    # is stored packed as (N, PACK_LANES) int32 bits instead of (N, N) bool.
+    # Only the batched path (batched_env_step / batched_replay_step) uses the
+    # kernels; single-env env_step falls back to XLA on the packed state.
+    use_pallas_pairs: bool = struct.field(pytree_node=False, default=False)
     quads_mode: str = struct.field(pytree_node=False, default="static_same_goal")
     control_mode: str = struct.field(pytree_node=False, default="raw")
     zero_action_middle: bool = struct.field(pytree_node=False, default=True)
@@ -132,9 +155,15 @@ class EnvConfig:
         from quadswarm_tpu.env.controls import action_dim
         return action_dim(self.control_mode)
 
-    def dynamics_config(self) -> DynamicsConfig:
-        return DynamicsConfig(
-            dt=self.dt, sim_steps=self.sim_steps, room_box=self.room_box)
+    def dynamics_config(self, arm=None) -> DynamicsConfig:
+        """arm: the fleet's arm length.  The reference TRAINING path clamps
+        floor contact at the drone's arm length (quadrotor_dynamics.py:378,
+        step1_numba passes self.arm — the pure-python path's 0.05 is not what
+        training runs); like the collision radii, a domain-randomized fleet
+        uses drone 0's arm (quadrotor_multi.py:81)."""
+        ft = 0.05 if arm is None else float(np.asarray(arm).reshape(-1)[0])
+        return DynamicsConfig(dt=self.dt, sim_steps=self.sim_steps,
+                              room_box=self.room_box, floor_threshold=ft)
 
     def scenario_config(self) -> ScenarioConfig:
         return ScenarioConfig(
@@ -156,7 +185,11 @@ class EnvConfig:
                      self.neighbor_visible_num, self.collision_hitbox_radius,
                      self.collision_falloff_radius, self.use_obstacles,
                      self.obst_density, self.obst_size, self.obst_spawn_area,
-                     self.use_downwash, self.quads_mode, self.control_mode,
+                     self.obst_density_random, self.obst_density_min,
+                     self.obst_density_max, self.obst_size_random,
+                     self.obst_size_min, self.obst_size_max,
+                     self.use_downwash, self.use_pallas_pairs,
+                     self.quads_mode, self.control_mode,
                      self.zero_action_middle, self.init_random_state,
                      self.use_sensor_noise, self.apply_collision_force,
                      self.use_pallas_dynamics, str(self.dtype)))
@@ -175,6 +208,8 @@ class EnvState:
     rew_coeff: RewardCoeffs          # data (annealed by the training wrapper)
     tick: jax.Array                  # int32, control ticks since reset
     prev_coll_pairs: jax.Array       # (N, N) bool — colliding pairs last tick
+    #                                  (use_pallas_pairs: (N, PACK_LANES) int32
+    #                                   packed bits — swarm_interactions.py)
     prev_coll_ids: jax.Array         # (N,) bool — drones in any pair last tick
     prev_obst_hits: jax.Array        # (N,) bool
     prev_wall: jax.Array             # (N,) bool
@@ -242,9 +277,13 @@ def _sample_spawn(cfg: EnvConfig, key: jax.Array, spawn_points: jax.Array):
 def _compute_obs(cfg: EnvConfig, dyn: DroneState, goals: jax.Array,
                  gyro_bias: jax.Array, key: jax.Array,
                  obst_active: jax.Array, obst_pos: jax.Array,
-                 obst_size_val) -> tuple[jax.Array, jax.Array]:
+                 obst_size_val, neighbor_override=None) -> tuple[jax.Array, jax.Array]:
     """Assemble the (N, obs_dim) observation: noisy self obs + neighbor
-    relative obs + obstacle SDF patch (quadrotor_multi.py:592-607)."""
+    relative obs + obstacle SDF patch (quadrotor_multi.py:592-607).
+
+    neighbor_override: precomputed UNCLIPPED (N, k*6) relative neighbor obs
+    (from the fused Pallas k-nearest kernel in the large-swarm batched path);
+    clipping is applied here either way."""
     noise_params = SensorNoiseParams(bypass=not cfg.use_sensor_noise)
     pos, vel, rot, omega, _, gyro_bias = add_noise(
         noise_params, key, dyn.pos, dyn.vel, dyn.rot, dyn.omega,
@@ -253,9 +292,14 @@ def _compute_obs(cfg: EnvConfig, dyn: DroneState, goals: jax.Array,
     if cfg.num_use_neighbor_obs > 0:
         clip_lo, clip_hi = neighbor_clip_bounds(
             cfg.num_use_neighbor_obs, cfg.room_dims, 3.0, cfg.dtype)
-        # Neighbor obs uses TRUE positions (quadrotor_multi.py:425,594-596)
-        parts.append(neighbor_obs(dyn.pos, dyn.vel, cfg.num_use_neighbor_obs,
+        if neighbor_override is not None:
+            parts.append(jnp.clip(neighbor_override.astype(cfg.dtype),
                                   clip_lo, clip_hi))
+        else:
+            # Neighbor obs uses TRUE positions (quadrotor_multi.py:425,594-596)
+            parts.append(neighbor_obs(dyn.pos, dyn.vel,
+                                      cfg.num_use_neighbor_obs,
+                                      clip_lo, clip_hi))
     if cfg.use_obstacles:
         parts.append(obst.surround_sdf_obs(
             dyn.pos[:, :2], obst_pos[:, :2], obst_active, obst_size_val / 2.0))
@@ -275,8 +319,25 @@ def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
         rew_coeff = RewardCoeffs()
     rew_coeff = jax.tree.map(lambda x: jnp.asarray(x, dtype), rew_coeff)
 
-    density = jnp.asarray(cfg.obst_density if obst_density is None else obst_density, dtype)
-    size = jnp.asarray(cfg.obst_size if obst_size is None else obst_size, dtype)
+    # Per-episode obstacle domain randomization: when enabled and no explicit
+    # value is passed, sample from the reference's discrete grids
+    # (quad_experience_replay.py:81-87: arange(min, max, 0.05) / (.., 0.1)).
+    if obst_density is None and cfg.obst_density_random:
+        grid = np.arange(cfg.obst_density_min, cfg.obst_density_max, 0.05)
+        kd = jax.random.fold_in(keys[5], 0)
+        density = jnp.asarray(grid, dtype)[
+            jax.random.randint(kd, (), 0, len(grid))]
+    else:
+        density = jnp.asarray(
+            cfg.obst_density if obst_density is None else obst_density, dtype)
+    if obst_size is None and cfg.obst_size_random:
+        grid = np.arange(cfg.obst_size_min, cfg.obst_size_max, 0.1)
+        ks = jax.random.fold_in(keys[5], 1)
+        size = jnp.asarray(grid, dtype)[
+            jax.random.randint(ks, (), 0, len(grid))]
+    else:
+        size = jnp.asarray(
+            cfg.obst_size if obst_size is None else obst_size, dtype)
 
     # Obstacles (fixed capacity = grid cells, masked)
     n_cells = cfg.num_obstacle_cells
@@ -309,7 +370,8 @@ def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
         scenario=scen,
         rew_coeff=rew_coeff,
         tick=zero_i,
-        prev_coll_pairs=jnp.zeros((n, n), bool),
+        prev_coll_pairs=(jnp.zeros((n, _pack_lanes()), jnp.int32)
+                         if cfg.use_pallas_pairs else jnp.zeros((n, n), bool)),
         prev_coll_ids=jnp.zeros((n,), bool),
         prev_obst_hits=jnp.zeros((n,), bool),
         prev_wall=jnp.zeros((n,), bool),
@@ -363,9 +425,17 @@ def _control_thrusts(cfg: EnvConfig, params: Any, state: EnvState,
 
 def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
              key: jax.Array, auto_reset: bool = True, dyn_override=None,
-             scen_override=None):
+             scen_override=None, pairs_override=None, defer_obs: bool = False):
     """One control tick for the whole swarm.  Returns
     (state', obs, rewards (N,), dones (N,), info dict).
+
+    pairs_override: (col_any, penalty_unit, resp_any, resp_partner,
+    curr_packed) from the fused Pallas pair kernel, computed over ALL envs by
+    batched_env_step (ops/pallas/swarm_interactions.pair_collisions) —
+    replaces the O(N^2) collision stage.  defer_obs=True skips observation
+    assembly (returns obs=None, gyro_bias unchanged) so the batched caller
+    can build obs with the fused k-nearest kernel from post-response
+    velocities; requires auto_reset=False.
 
     auto_reset (static): when True, a finished episode's state is replaced by
     a fresh `env_reset` via masked select — convenient for a single stateful
@@ -377,7 +447,7 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     n = cfg.num_agents
     dtype = cfg.dtype
     keys = jax.random.split(key, 10)
-    dyn_cfg = cfg.dynamics_config()
+    dyn_cfg = cfg.dynamics_config(arm=params.arm)
     goals = state.scenario.goals
 
     # ---- 1. Per-drone control + dynamics (quadrotor_single._step) ----------
@@ -411,10 +481,26 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     arm = params.arm[0] if _per_drone(params) else params.arm
     hitbox = cfg.collision_hitbox_radius * arm
     falloff = cfg.collision_falloff_radius * arm
-    dist, curr_pairs = coll.collision_matrix(dyn.pos, hitbox)
-    curr_ids = jnp.any(curr_pairs, axis=-1)
+    if pairs_override is not None:
+        # batched_env_step ran the fused Pallas pair kernel over all envs —
+        # the (N, N) matrices never exist; pair history arrives packed.
+        curr_ids, pen_unit, resp_any, resp_partner, store_pairs = pairs_override
+        new_pairs = None
+    elif cfg.use_pallas_pairs:
+        # Single-env fallback on the packed state layout (gym_api / enjoy /
+        # reset tick): XLA math, pack/unpack around it.
+        from quadswarm_tpu.ops.pallas.swarm_interactions import (
+            pack_pairs, unpack_pairs)
+        dist, curr_pairs = coll.collision_matrix(dyn.pos, hitbox)
+        curr_ids = jnp.any(curr_pairs, axis=-1)
+        new_pairs = curr_pairs & ~unpack_pairs(state.prev_coll_pairs, n)
+        store_pairs = pack_pairs(curr_pairs)
+    else:
+        dist, curr_pairs = coll.collision_matrix(dyn.pos, hitbox)
+        curr_ids = jnp.any(curr_pairs, axis=-1)
+        new_pairs = curr_pairs & ~state.prev_coll_pairs     # new pair set
+        store_pairs = curr_pairs
     unique_ids = curr_ids & ~state.prev_coll_ids        # setdiff1d on drone ids
-    new_pairs = curr_pairs & ~state.prev_coll_pairs     # new pair set
 
     collisions_curr_tick = jnp.sum(unique_ids).astype(jnp.int32) // 2
     grace = tick >= jnp.int32(1.5 * cfg.control_freq)
@@ -473,9 +559,17 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     # ---- 3. Collision rewards (quadrotor_multi.py:499-546) -----------------
     rew_quadcol = -state.rew_coeff.quadcol_bin * unique_ids.astype(dtype)
     # reference filters to pairs with dist <= falloff (:443-444)
-    rew_proximity = -proximity_penalties(
-        dist, dist <= falloff, falloff, state.rew_coeff.quadcol_bin_smooth_max,
-        cfg.control_dt)
+    if pairs_override is not None:
+        # kernel penalty is the unit-coefficient sum( 1 - d/falloff ); scale
+        # by the (annealed) coefficient and dt here — exactly
+        # proximity_penalties with max_penalty folded out.
+        rew_proximity = -(cfg.control_dt
+                          * state.rew_coeff.quadcol_bin_smooth_max
+                          * pen_unit.astype(dtype))
+    else:
+        rew_proximity = -proximity_penalties(
+            dist, dist <= falloff, falloff,
+            state.rew_coeff.quadcol_bin_smooth_max, cfg.control_dt)
     rew_obst_raw = -curr_obst.astype(dtype)
     rew_quadcol_obst = state.rew_coeff.quadcol_bin_obst * rew_obst_raw
 
@@ -503,8 +597,12 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
         vel, omega, _ = apply_downwash(keys[1], dyn.pos, vel, omega, dyn.rot,
                                        cfg.control_dt)
     if cfg.apply_collision_force:
-        vel, omega = coll.drone_collision_response(
-            keys[2], dyn.pos, vel, omega, new_pairs)
+        if pairs_override is not None:
+            vel, omega = coll.drone_collision_response_indexed(
+                keys[2], dyn.pos, vel, omega, resp_any, resp_partner)
+        else:
+            vel, omega = coll.drone_collision_response(
+                keys[2], dyn.pos, vel, omega, new_pairs)
         if cfg.use_obstacles:
             # one-hot select, not a gather (see collisions.py note on TPU
             # gather cost); each row has exactly one hit
@@ -535,9 +633,16 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
                              allowed_modes=cfg.mode_list())
 
     # ---- 6. Observations ------------------------------------------------------
-    obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias, keys[7],
-                                  state.obst_active, state.obst_pos,
-                                  state.obst_size)
+    if defer_obs:
+        # batched_env_step assembles obs afterwards (fused k-nearest kernel
+        # needs the whole fleet's POST-response velocities at once); it
+        # re-derives keys[7] and updates gyro_bias itself.
+        assert not auto_reset, "defer_obs requires auto_reset=False"
+        obs, gyro_bias = None, state.gyro_bias
+    else:
+        obs, gyro_bias = _compute_obs(cfg, dyn, scen.goals, state.gyro_bias,
+                                      keys[7], state.obst_active,
+                                      state.obst_pos, state.obst_size)
 
     crashes_last_episode = state.crashes_last_episode + rew_info.rew_crash[0]
     # Cumulative raw rewards for true_reward (reward_shaping.py:79-86):
@@ -547,7 +652,7 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
 
     new_state = state.replace(
         dyn=dyn, scenario=scen, tick=tick,
-        prev_coll_pairs=curr_pairs, prev_coll_ids=curr_ids,
+        prev_coll_pairs=store_pairs, prev_coll_ids=curr_ids,
         prev_obst_hits=obst_hit,
         prev_wall=wall_crash, prev_ceiling=ceiling_crash, prev_room=room_crash,
         gyro_bias=gyro_bias, dist5=dist5,
@@ -589,7 +694,8 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     if auto_reset:
         reset_state, reset_obs = env_reset(
             cfg, params, keys[8], rew_coeff=state.rew_coeff,
-            obst_density=state.obst_density, obst_size=state.obst_size)
+            obst_density=None if cfg.obst_density_random else state.obst_density,
+            obst_size=None if cfg.obst_size_random else state.obst_size)
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
                                  reset_state, new_state)
         obs = jnp.where(done, reset_obs, obs)
@@ -626,10 +732,70 @@ def _pallas_fleet_dynamics(cfg: EnvConfig, params: Any, states: EnvState,
     )(keys)                                               # (E, N, key)
     flat = lambda x: x.reshape((e * n,) + x.shape[2:])
     dyn_flat = jax.tree.map(flat, states.dyn)
-    out = dynamics_step_flat(params, cfg.dynamics_config(), dyn_flat,
+    out = dynamics_step_flat(params, cfg.dynamics_config(arm=params.arm),
+                             dyn_flat,
                              flat(thrust),
                              dyn_keys.reshape((e * n,) + dyn_keys.shape[2:]))
     return jax.tree.map(lambda x: x.reshape((e, n) + x.shape[1:]), out)
+
+
+def _batched_xla_dynamics(cfg: EnvConfig, params: Any, states: EnvState,
+                          actions: jax.Array, keys: jax.Array) -> DroneState:
+    """Integrate all envs' drones with the vmapped XLA dynamics — used when
+    the pair kernel needs the whole fleet's post-integration positions before
+    the vmapped env_step runs.  Consumes keys exactly like env_step's
+    internal path (keys[0] of the 10-way split, split per agent)."""
+    n = cfg.num_agents
+    dyn_cfg = cfg.dynamics_config(arm=params.arm)
+
+    def one_env(s, a, k):
+        thrust = _control_thrusts(cfg, params, s, a, s.scenario.goals)
+        dyn_keys = jax.random.split(jax.random.split(k, 10)[0], n)
+        if _per_drone(params):
+            return jax.vmap(
+                lambda p, st, t, dk: dynamics_step(p, dyn_cfg, st, t, dk)
+            )(params, s.dyn, thrust, dyn_keys)
+        return jax.vmap(
+            lambda st, t, dk: dynamics_step(params, dyn_cfg, st, t, dk)
+        )(s.dyn, thrust, dyn_keys)
+
+    return jax.vmap(one_env)(states, actions, keys)
+
+
+def _batched_pair_interactions(cfg: EnvConfig, params: Any, states: EnvState,
+                               dyn: DroneState):
+    """Fused Pallas pair kernel over the whole (E, N) fleet: collision masks,
+    unit proximity penalties, response partners, packed pair history.  The
+    coefficient-bearing scaling (quadcol_bin_smooth_max, dt) happens inside
+    env_step so per-env annealed reward coefficients stay exact."""
+    from quadswarm_tpu.ops.pallas.swarm_interactions import pair_collisions
+
+    arm = params.arm[0] if _per_drone(params) else params.arm
+    hitbox = cfg.collision_hitbox_radius * arm
+    falloff = cfg.collision_falloff_radius * arm
+    interp = jax.default_backend() != "tpu"
+    return pair_collisions(dyn.pos.astype(jnp.float32), states.prev_coll_pairs,
+                           hitbox, falloff, 1.0, interpret=interp)
+
+
+def _batched_deferred_obs(cfg: EnvConfig, new_states: EnvState,
+                          old_gyro_bias: jax.Array, keys: jax.Array):
+    """Assemble observations for the whole batch after the vmapped step: the
+    neighbor slice comes from the fused Pallas k-nearest kernel on the fleet's
+    post-response state, the rest (noisy self obs, SDF patch) is the vmapped
+    XLA path.  Re-derives env_step's keys[7]."""
+    from quadswarm_tpu.ops.pallas.swarm_interactions import neighbor_topk_obs
+
+    keys7 = jax.vmap(lambda k: jax.random.split(k, 10)[7])(keys)
+    interp = jax.default_backend() != "tpu"
+    nbr = neighbor_topk_obs(new_states.dyn.pos.astype(jnp.float32),
+                            new_states.dyn.vel.astype(jnp.float32),
+                            cfg.num_use_neighbor_obs, interpret=interp)
+    return jax.vmap(
+        lambda d, g, gb, k7, oa, op, osz, nb: _compute_obs(
+            cfg, d, g, gb, k7, oa, op, osz, neighbor_override=nb)
+    )(new_states.dyn, new_states.scenario.goals, old_gyro_bias, keys7,
+      new_states.obst_active, new_states.obst_pos, new_states.obst_size, nbr)
 
 
 def _batched_scenario(cfg: EnvConfig, states: EnvState, keys: jax.Array):
@@ -660,27 +826,36 @@ def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,
     ep_len), leaving the hot path pure physics/interactions.
     """
     scen = _batched_scenario(cfg, states, keys)
+    dyn = None
     if cfg.use_pallas_dynamics and not _per_drone(params):
         dyn = _pallas_fleet_dynamics(cfg, params, states, actions, keys)
-        new_states, obs, rew, dones, info = jax.vmap(
-            lambda s, a, k, d, sc: env_step(cfg, params, s, a, k,
-                                            auto_reset=False, dyn_override=d,
-                                            scen_override=sc)
-        )(states, actions, keys, dyn, scen)
-    else:
-        new_states, obs, rew, dones, info = jax.vmap(
-            lambda s, a, k, sc: env_step(cfg, params, s, a, k,
-                                         auto_reset=False, scen_override=sc)
-        )(states, actions, keys, scen)
+    elif cfg.use_pallas_pairs:
+        dyn = _batched_xla_dynamics(cfg, params, states, actions, keys)
+    pairs = (None if not cfg.use_pallas_pairs
+             else _batched_pair_interactions(cfg, params, states, dyn))
+    # k-nearest kernel handles 1..16 neighbors; k = N-1 (index-order
+    # semantics) or 0 stays on the XLA obs path inside env_step
+    defer = cfg.use_pallas_pairs and 0 < cfg.num_use_neighbor_obs <= 16
+    new_states, obs, rew, dones, info = jax.vmap(
+        lambda s, a, k, d, pr, sc: env_step(
+            cfg, params, s, a, k, auto_reset=False, dyn_override=d,
+            scen_override=sc, pairs_override=pr, defer_obs=defer)
+    )(states, actions, keys, dyn, pairs, scen)
+    if defer:
+        obs, gyro = _batched_deferred_obs(cfg, new_states, states.gyro_bias,
+                                          keys)
+        new_states = new_states.replace(gyro_bias=gyro)
     done_env = jnp.any(dones, axis=-1)
     reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
 
     def do_reset(args):
         new_states, obs = args
         reset_states, reset_obs = jax.vmap(
-            lambda k, s: env_reset(cfg, params, k, rew_coeff=s.rew_coeff,
-                                   obst_density=s.obst_density,
-                                   obst_size=s.obst_size)
+            lambda k, s: env_reset(
+                cfg, params, k, rew_coeff=s.rew_coeff,
+                obst_density=(None if cfg.obst_density_random
+                              else s.obst_density),
+                obst_size=None if cfg.obst_size_random else s.obst_size)
         )(reset_keys, new_states)
         return (_select_done(done_env, reset_states, new_states),
                 _select_done(done_env, reset_obs, obs))

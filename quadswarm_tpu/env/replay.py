@@ -114,8 +114,8 @@ def _write_slots_batched(cond, ring, idx, item):
 def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
                 state: EnvState, rstate: ReplayState, actions: jax.Array,
                 key: jax.Array, auto_reset: bool = True,
-                dyn_override=None, scen_override=None,
-                defer_ring_writes: bool = False):
+                dyn_override=None, scen_override=None, pairs_override=None,
+                defer_obs: bool = False, defer_ring_writes: bool = False):
     """env_step + the experience-replay wrapper logic for one env.
 
     With auto_reset=False (used by `batched_replay_step`), done episodes that
@@ -136,7 +136,9 @@ def replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     new_state, obs, rew, dones, info = env_step(cfg, params, state, actions,
                                                 k_env, auto_reset=auto_reset,
                                                 dyn_override=dyn_override,
-                                                scen_override=scen_override)
+                                                scen_override=scen_override,
+                                                pairs_override=pairs_override,
+                                                defer_obs=defer_obs)
     done = dones[0]
     cp_freq = jnp.int32(CP_STEP_SEC * cfg.control_freq)
     grace = jnp.int32(1.5 * cfg.control_freq)
@@ -264,24 +266,34 @@ def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     resets are cheap state selects and stay in the hot path; only the full
     env_reset for non-replayed episode ends is gated on lax.cond)."""
     from quadswarm_tpu.env.multi import (
-        _batched_scenario, _pallas_fleet_dynamics, _per_drone,
+        _batched_deferred_obs, _batched_pair_interactions, _batched_scenario,
+        _batched_xla_dynamics, _pallas_fleet_dynamics, _per_drone,
     )
 
     # Hoisted fleet-wide dynamics/scenario (same key derivation as
     # replay_step -> env_step: k_env = split(key, 4)[0]).
     keys_env = jax.vmap(lambda k: jax.random.split(k, 4)[0])(keys)
     scen = _batched_scenario(cfg, states, keys_env)
+    dyn = None
     if cfg.use_pallas_dynamics and not _per_drone(params):
         dyn = _pallas_fleet_dynamics(cfg, params, states, actions, keys_env)
-    else:
-        dyn = None
+    elif cfg.use_pallas_pairs:
+        dyn = _batched_xla_dynamics(cfg, params, states, actions, keys_env)
+    pairs = (None if not cfg.use_pallas_pairs
+             else _batched_pair_interactions(cfg, params, states, dyn))
+    # k-nearest kernel handles 1..16 neighbors; k = N-1 (index-order
+    # semantics) or 0 stays on the XLA obs path inside env_step
+    defer = cfg.use_pallas_pairs and 0 < cfg.num_use_neighbor_obs <= 16
     out_states, out_rstates, obs, rew, dones, info = jax.vmap(
-        lambda s, r, a, k, sc, *d: replay_step(
+        lambda s, r, a, k, sc, d, pr: replay_step(
             cfg, params, sample_prob, s, r, a, k, auto_reset=False,
-            dyn_override=d[0] if d else None, scen_override=sc,
-            defer_ring_writes=True)
-    )(states, rstates, actions, keys, scen,
-      *((dyn,) if dyn is not None else ()))
+            dyn_override=d, scen_override=sc, pairs_override=pr,
+            defer_obs=defer, defer_ring_writes=True)
+    )(states, rstates, actions, keys, scen, dyn, pairs)
+    if defer:
+        obs, gyro = _batched_deferred_obs(cfg, out_states, states.gyro_bias,
+                                          keys_env)
+        out_states = out_states.replace(gyro_bias=gyro)
     did_replay = info.pop("replay/did_replay")
 
     # Deferred checkpoint-ring writes: the per-env ring update rewrites the
@@ -337,10 +349,14 @@ def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
 
     def do_reset(args):
         out_states, obs = args
+        # Fresh (non-replayed) episodes resample obstacle density/size when
+        # domain randomization is on (quad_experience_replay.py:198-204)
         reset_states, reset_obs = jax.vmap(
-            lambda k, s: env_reset(cfg, params, k, rew_coeff=s.rew_coeff,
-                                   obst_density=s.obst_density,
-                                   obst_size=s.obst_size)
+            lambda k, s: env_reset(
+                cfg, params, k, rew_coeff=s.rew_coeff,
+                obst_density=(None if cfg.obst_density_random
+                              else s.obst_density),
+                obst_size=None if cfg.obst_size_random else s.obst_size)
         )(reset_keys, out_states)
         return (_select_done(needs_reset, reset_states, out_states),
                 _select_done(needs_reset, reset_obs, obs))
