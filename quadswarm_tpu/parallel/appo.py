@@ -80,7 +80,9 @@ def appo_learn(model, ppo_cfg: PPOConfig, train_state, traj: Transition,
     def learner_forward(obs):
         mean, log_std, value = model.apply(
             train_state.params, obs.reshape(-1, obs.shape[-1]))
-        return mean, log_std, value
+        # bf16-safe: V-trace/GAE math in f32
+        return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
+                value.astype(jnp.float32))
 
     mean, log_std, values_flat = learner_forward(traj.obs)
     values = values_flat.reshape(t_dim, e_dim, n_dim)
@@ -120,9 +122,11 @@ class APPOTrainer(Trainer):
 
     def __init__(self, env_cfg, ppo_cfg: PPOConfig, model, dyn_params: Any,
                  seed: int = 0, anneal_schedules: dict | None = None,
-                 mesh=None, policy_lag: int = 1):
+                 mesh=None, policy_lag: int = 1,
+                 base_rew_coeff: dict | None = None):
         super().__init__(env_cfg, ppo_cfg, model, dyn_params, seed=seed,
-                         anneal_schedules=anneal_schedules, mesh=mesh)
+                         anneal_schedules=anneal_schedules, mesh=mesh,
+                         base_rew_coeff=base_rew_coeff)
         self.policy_lag = policy_lag
         self._build_appo_fns()
         # queue[0] is the behavior version for the next rollout; with lag L

@@ -19,8 +19,13 @@ def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
     """Initialize jax.distributed from args or the standard env vars
-    (auto-detected on TPU pods; explicit for CPU multi-process tests)."""
-    if jax.process_count() > 1:
+    (auto-detected on TPU pods; explicit for CPU multi-process tests).
+
+    MUST run before anything touches the XLA backend — even jax.devices() /
+    jax.process_count() would initialize it, so the already-initialized guard
+    reads the distributed client state directly."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):

@@ -36,6 +36,9 @@ class PBTConfig:
     replace_fraction: float = 0.3           # --pbt_replace_fraction
     mutation_rate: float = 0.15             # --pbt_mutation_rate
     replace_reward_gap: float = 0.1         # --pbt_replace_reward_gap
+    # Absolute floor on the objective gap that triggers replacement
+    # (--pbt_replace_reward_gap_absolute; SF uses max(relative, absolute))
+    replace_reward_gap_absolute: float = 1e-6
     perturb_range: tuple = (0.8, 1.2)       # (1/pbt_perturb_max, pbt_perturb_max)
     optimize_gamma: bool = False            # --pbt_optimize_gamma
 
@@ -54,14 +57,16 @@ class PolicySlot:
 
 class PBTRunner:
     def __init__(self, env_cfg, ppo_cfg, model, dyn_params, pbt_cfg: PBTConfig,
-                 seed: int = 0, anneal_schedules=None, exp_dir: str = "train_dir/pbt"):
+                 seed: int = 0, anneal_schedules=None, exp_dir: str = "train_dir/pbt",
+                 base_rew_coeff: dict | None = None):
         self.pbt_cfg = pbt_cfg
         self.exp_dir = exp_dir
         self.rng = np.random.default_rng(seed)
         self.policies = [
             PolicySlot(Trainer(env_cfg, ppo_cfg, model, dyn_params,
                                seed=seed + 1000 * p,
-                               anneal_schedules=anneal_schedules))
+                               anneal_schedules=anneal_schedules,
+                               base_rew_coeff=base_rew_coeff))
             for p in range(pbt_cfg.num_policies)
         ]
         self.loggers = [MetricLogger(os.path.join(exp_dir, f"p{p}"))
@@ -99,7 +104,8 @@ class PBTRunner:
             if t == b:
                 continue
             gap = objectives[t] - objectives[b]
-            threshold = abs(objectives[t]) * self.pbt_cfg.replace_reward_gap
+            threshold = max(abs(objectives[t]) * self.pbt_cfg.replace_reward_gap,
+                            self.pbt_cfg.replace_reward_gap_absolute)
             if not np.isfinite(gap) or gap <= threshold:
                 continue
             src, dst = self.policies[t].trainer, self.policies[b].trainer

@@ -86,7 +86,8 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         k_act, k_env, k_assign = jax.random.split(step_key, 3)
         flat_obs = obs.reshape(e * n, -1)
         mean, log_std, value = jax.vmap(
-            lambda p: model.apply(p, flat_obs))(stacked_params)
+            lambda p: jax.tree.map(lambda x: x.astype(jnp.float32),
+                                   model.apply(p, flat_obs)))(stacked_params)
         sel = assignment.reshape(e * n)
         mean = _select_policy(mean, sel, p_count)
         log_std = _select_policy(log_std, sel, p_count)
@@ -114,7 +115,8 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     (env_states, obs, assignment), (traj, infos) = jax.lax.scan(
         step_fn, (env_states, obs, assignment), keys)
     flat_obs = obs.reshape(e * n, -1)
-    values = jax.vmap(lambda p: model.apply(p, flat_obs)[2])(stacked_params)
+    values = jax.vmap(lambda p: model.apply(p, flat_obs)[2].astype(
+        jnp.float32))(stacked_params)
     last_value = _select_policy(values.reshape(p_count, e * n),
                                 assignment.reshape(e * n), p_count)
     return env_states, obs, assignment, traj, last_value.reshape(e, n), infos
@@ -125,6 +127,9 @@ def masked_ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch,
     """PPO loss averaged over this policy's samples only (mask in {0,1})."""
     obs, actions, old_log_prob, old_value, advantages, returns = batch
     mean, log_std, value = model.apply(params, obs)
+    mean = mean.astype(jnp.float32)
+    log_std = log_std.astype(jnp.float32)
+    value = value.astype(jnp.float32)
     log_prob = gaussian_log_prob(mean, log_std, actions)
     # Clamp the log-ratio: out-of-mask samples belong to OTHER policies, and
     # once policies diverge log_prob - old_log_prob can overflow exp to inf;
@@ -231,7 +236,8 @@ class MixedPBTRunner:
 
     def __init__(self, env_cfg: EnvConfig, ppo_cfg: PPOConfig,
                  model: ActorCritic, dyn_params: Any, pbt_cfg,
-                 seed: int = 0, exp_dir: str = "train_dir/pbt_mixed"):
+                 seed: int = 0, exp_dir: str = "train_dir/pbt_mixed",
+                 base_rew_coeff: dict | None = None):
         self.env_cfg, self.ppo_cfg, self.model = env_cfg, ppo_cfg, model
         self.dyn_params, self.pbt_cfg, self.exp_dir = dyn_params, pbt_cfg, exp_dir
         self.rng = np.random.default_rng(seed)
@@ -254,8 +260,8 @@ class MixedPBTRunner:
             lambda k: env_reset(env_cfg, dyn_params, k)))(env_keys)
         self.assignment = jax.random.randint(
             k_assign, (ppo_cfg.num_envs, env_cfg.num_agents), 0, p_count)
-        base = dict(quadcol_bin=5.0, quadcol_bin_smooth_max=10.0,
-                    quadcol_bin_obst=5.0)
+        base = dict(base_rew_coeff) if base_rew_coeff else dict(
+            quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
         self.coeffs = [dict(base) for _ in range(p_count)]
         self.env_steps = 0
         self.objective_hist = [[] for _ in range(p_count)]
@@ -300,7 +306,10 @@ class MixedPBTRunner:
             if t == b or not np.isfinite(objectives[t]):
                 continue
             gap = objectives[t] - objectives[b]
-            if gap <= abs(objectives[t]) * self.pbt_cfg.replace_reward_gap:
+            threshold = max(
+                abs(objectives[t]) * self.pbt_cfg.replace_reward_gap,
+                getattr(self.pbt_cfg, "replace_reward_gap_absolute", 0.0))
+            if gap <= threshold:
                 continue
             copy_slice = lambda x: x.at[b].set(x[t])
             self.params = jax.tree.map(copy_slice, self.params)

@@ -98,8 +98,11 @@ def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
             lambda x: jnp.broadcast_to(x, (e,) + jnp.shape(x)), rew_coeff))
 
     def policy(params, obs_flat):
+        # The model may compute in bfloat16 (4x MXU throughput on TPU);
+        # cast heads to f32 so action sampling, log-probs and GAE stay exact.
         mean, log_std, value = model.apply(params, obs_flat)
-        return mean, log_std, value
+        return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
+                value.astype(jnp.float32))
 
     def step_fn(carry, step_key):
         env_states, replay_states, obs = carry
@@ -152,6 +155,10 @@ def compute_gae(traj: Transition, last_value, gamma, lam):
 def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
     obs, actions, old_log_prob, old_value, advantages, returns = batch
     mean, log_std, value = model.apply(params, obs)
+    # bf16-safe: loss math in f32 regardless of the model compute dtype
+    mean = mean.astype(jnp.float32)
+    log_std = log_std.astype(jnp.float32)
+    value = value.astype(jnp.float32)
     log_prob = gaussian_log_prob(mean, log_std, actions)
     ratio = jnp.exp(log_prob - old_log_prob)
     adv = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-8)
@@ -263,7 +270,8 @@ class Trainer:
 
     def __init__(self, env_cfg: EnvConfig, ppo_cfg: PPOConfig,
                  model: ActorCritic, dyn_params: Any, seed: int = 0,
-                 anneal_schedules: dict | None = None, mesh=None):
+                 anneal_schedules: dict | None = None, mesh=None,
+                 base_rew_coeff: dict | None = None):
         self.env_cfg = env_cfg
         self.ppo_cfg = ppo_cfg
         self.model = model
@@ -295,7 +303,14 @@ class Trainer:
         rsh = replicated_sharding(self.mesh)
         if ppo_cfg.replay_sample_prob > 0.0:
             from quadswarm_tpu.env.replay import init_replay_state
-            template = jax.tree.map(lambda x: x[0], jax.device_get(self.env_states))
+            # Zero template: ring slots are never read before being written
+            # (gated on ep_cp_count / buffer_count), so contents don't matter
+            # — and this stays multi-host safe (no device_get of a sharded
+            # global array, which is non-addressable under jax.distributed).
+            tmpl_sd, _ = jax.eval_shape(
+                lambda k: env_reset(env_cfg, dyn_params, k), env_keys[0])
+            template = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tmpl_sd)
             self.replay_states = jax.device_put(
                 jax.vmap(lambda _: init_replay_state(template))(
                     jnp.arange(ppo_cfg.num_envs)), bsh)
@@ -305,7 +320,11 @@ class Trainer:
             replay_sh = rsh  # empty pytree; spec is inert
         self._shardings = (rsh, bsh, bsh, rsh, rsh, replay_sh)
         self._build_iter_fn()
-        self.base_rew_coeff = dict(
+        # Collision shaping coefficients.  The training CLI passes the
+        # --quads_*_reward flags here (config.base_rew_coeff_from_args,
+        # reference env_wrappers/quad_utils.py:74-77); direct construction
+        # defaults to the 8-drone mix baseline's values.
+        self.base_rew_coeff = dict(base_rew_coeff) if base_rew_coeff else dict(
             quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
 
     def _build_iter_fn(self):

@@ -102,6 +102,12 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
 def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--experiment", default="quad_swarm_tpu", type=str)
     p.add_argument("--train_dir", default="train_dir", type=str)
+    p.add_argument("--multi_host", default=False, type=str2bool,
+                   help="initialize jax.distributed and train one job over "
+                        "every chip of a multi-host slice (coordinator from "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID env vars, or TPU pod auto-detect); "
+                        "--num_envs is the GLOBAL env batch")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--train_for_env_steps", default=1_000_000_000, type=int)
     p.add_argument("--num_envs", default=0, type=int,
@@ -171,6 +177,11 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wandb_user", default=None, type=str)
     p.add_argument("--wandb_group", default=None, type=str)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--model_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="model COMPUTE dtype (params/optimizer stay f32; "
+                        "loss/GAE math is f32). auto = bfloat16 on TPU "
+                        "(4x MXU throughput), float32 elsewhere")
     # PBT
     p.add_argument("--with_pbt", default=False, type=str2bool)
     p.add_argument("--num_policies", default=1, type=int)
@@ -195,6 +206,11 @@ def parse_swarm_cfg(argv=None, evaluation: bool = False) -> argparse.Namespace:
         p.add_argument("--load_checkpoint_kind", default="latest",
                        choices=["latest", "best"])
         p.add_argument("--max_num_episodes", default=1, type=int)
+        p.add_argument("--eval_envs", default=1, type=int,
+                       help="vmapped eval batch: run this many envs in "
+                            "parallel per round (episodes are fixed-length, "
+                            "so each round yields eval_envs full episodes); "
+                            "1 = the un-vmapped render-friendly path")
         p.add_argument("--render_mode", default="plot",
                        choices=["plot", "dump", "none", "human", "rgb_array"])
         p.add_argument("--render_out", default="render_out", type=str)
@@ -229,7 +245,34 @@ def _resolve_compat_flags(args) -> argparse.Namespace:
     if args.normalize_input or args.normalize_returns:
         warnings.warn("input/return normalization not implemented; flags "
                       "ignored (baselines set both to False)")
+    if (args.quads_obstacle_obs_type == "octomap"
+            and not args.quads_use_obstacles):
+        raise ValueError("--quads_obstacle_obs_type=octomap requires "
+                         "--quads_use_obstacles=True (the env only emits the "
+                         "SDF observation with obstacles enabled)")
+    if args.quads_use_obstacles and args.quads_obstacle_obs_type == "none":
+        warnings.warn("obstacles are enabled but "
+                      "--quads_obstacle_obs_type=none: the model will ignore "
+                      "the SDF observation (reference behavior; pass "
+                      "--quads_obstacle_obs_type=octomap to consume it)")
+    if ((args.quads_obst_density_random or args.quads_obst_size_random)
+            and not args.quads_domain_random):
+        warnings.warn("--quads_obst_density_random/--quads_obst_size_random "
+                      "have no effect without --quads_domain_random=True "
+                      "(reference gating, quad_experience_replay.py:76-87)")
     return args
+
+
+def base_rew_coeff_from_args(args) -> dict:
+    """Collision reward-shaping coefficients from the CLI, applied
+    unconditionally like the reference (env_wrappers/quad_utils.py:74-77).
+    With --anneal_collision_steps>0 these are overridden by the annealing
+    schedule (start at 0, ramp to the flag value)."""
+    return dict(
+        quadcol_bin=args.quads_collision_reward,
+        quadcol_bin_smooth_max=args.quads_collision_smooth_max_penalty,
+        quadcol_bin_obst=args.quads_obst_collision_reward,
+    )
 
 
 def env_config_from_args(args) -> "EnvConfig":
@@ -252,8 +295,24 @@ def env_config_from_args(args) -> "EnvConfig":
         obst_density=args.quads_obst_density,
         obst_size=args.quads_obst_size,
         obst_spawn_area=tuple(args.quads_obst_spawn_area),
+        # Obstacle domain randomization (reference gates the per-episode
+        # resample on BOTH --quads_domain_random and the specific flag,
+        # quad_experience_replay.py:76-87)
+        obst_density_random=(args.quads_domain_random
+                             and args.quads_obst_density_random),
+        obst_density_min=args.quads_obst_density_min,
+        obst_density_max=args.quads_obst_density_max,
+        obst_size_random=(args.quads_domain_random
+                          and args.quads_obst_size_random),
+        obst_size_min=args.quads_obst_size_min,
+        obst_size_max=args.quads_obst_size_max,
         use_downwash=args.quads_use_downwash,
         quads_mode=args.quads_mode,
+        # Large-swarm fused pair kernels (collision masks + k-nearest obs,
+        # O(N) memory — ops/pallas/swarm_interactions.py), on TPU from 128
+        # agents where blockwise tiling beats the XLA (N, N) path.
+        use_pallas_pairs=(jax.default_backend() == "tpu"
+                          and args.quads_num_agents >= 128),
         use_pallas_dynamics=(jax.default_backend() == "tpu"
                              if args.quads_use_pallas == "auto"
                              else args.quads_use_pallas == "true"),
@@ -262,9 +321,16 @@ def env_config_from_args(args) -> "EnvConfig":
 
 
 def model_from_args(args, env_cfg) -> "ActorCritic":
+    import jax
+    import jax.numpy as jnp
+
     from quadswarm_tpu.env.obs import NEIGHBOR_OBS_SIZES, OBS_REPR_SIZES
     from quadswarm_tpu.models.actor_critic import ActorCritic
 
+    model_dtype = getattr(args, "model_dtype", "auto")
+    if model_dtype == "auto":
+        model_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                       else "float32")
     return ActorCritic(
         action_dim=4,
         self_obs_dim=OBS_REPR_SIZES[args.quads_obs_repr],
@@ -273,12 +339,17 @@ def model_from_args(args, env_cfg) -> "ActorCritic":
         encoder_type=args.quads_encoder_type,
         neighbor_encoder_type=args.quads_neighbor_encoder_type,
         neighbor_hidden=args.quads_neighbor_hidden_size,
-        use_obstacles=args.quads_use_obstacles,
+        # The MODEL consumes the obstacle (octomap SDF) slice of the obs only
+        # when --quads_obstacle_obs_type=octomap; the env emits it whenever
+        # use_obstacles=True (reference: quad_multi_model.py:161 vs
+        # quadrotor_single.py:315).
+        use_obstacles=(args.quads_obstacle_obs_type == "octomap"),
         obstacle_hidden=args.quads_obst_hidden_size,
         rnn_size=args.rnn_size,
         act=args.nonlinearity,
         sim2real=args.quads_sim2real,
         initial_stddev=args.initial_stddev,
+        dtype=jnp.bfloat16 if model_dtype == "bfloat16" else jnp.float32,
     )
 
 

@@ -22,7 +22,7 @@ def run_eval(args) -> dict:
         env_config_from_args, model_from_args,
     )
     from quadswarm_tpu.utils.checkpoint import (
-        checkpoint_dir, latest_checkpoint, load_checkpoint,
+        checkpoint_dir, get_checkpoints, latest_checkpoint, load_checkpoint,
     )
     from quadswarm_tpu.utils.render import TrajectoryRecorder, render_trajectory
 
@@ -35,7 +35,18 @@ def run_eval(args) -> dict:
     key, ki = jax.random.split(key)
     params = model.init(ki, jnp.zeros((1, env_cfg.obs_dim)))
     cp_dir = checkpoint_dir(args.train_dir, args.experiment)
-    cp = latest_checkpoint(cp_dir)
+    # --load_checkpoint_kind=best loads the best_* checkpoint (highest
+    # windowed true_reward, written by the train loop), like SF's
+    # Learner.get_checkpoints("best_*") (env_wrappers/quad_utils.py:105-107);
+    # falls back to latest if no best checkpoint was recorded.
+    cp = None
+    if getattr(args, "load_checkpoint_kind", "latest") == "best":
+        best = get_checkpoints(cp_dir, tag="best")
+        cp = best[-1] if best else None
+        if cp is None:
+            print("WARNING: no best_* checkpoint found, falling back to latest")
+    if cp is None:
+        cp = latest_checkpoint(cp_dir)
     if cp is not None:
         from flax import serialization
         payload = load_checkpoint(cp)
@@ -43,6 +54,9 @@ def run_eval(args) -> dict:
         print(f"loaded {cp}")
     else:
         print("WARNING: no checkpoint found, using random init")
+
+    if getattr(args, "eval_envs", 1) > 1:
+        return _run_eval_batched(args, env_cfg, model, dyn, params, key)
 
     step = jax.jit(lambda s, a, k: env_step(env_cfg, dyn, s, a, k))
     policy = jax.jit(lambda p, o: model.apply(p, o)[0])  # deterministic mean
@@ -108,6 +122,77 @@ def run_eval(args) -> dict:
     agg = {k: float(np.mean([s[k] for s in episode_stats]))
            for k in episode_stats[0]}
     print("=== mean over episodes ===")
+    for k, v in sorted(agg.items()):
+        print(f"  {k}: {v:.4f}")
+    return agg
+
+
+def _run_eval_batched(args, env_cfg, model, dyn, params, key) -> dict:
+    """Many-episode eval without per-tick host sync: `--eval_envs` envs run
+    under one jitted lax.scan per round (episodes are fixed-length, so a
+    round of ep_len ticks from reset yields eval_envs complete episodes),
+    and per-episode stats are read from the final tick's info.
+
+    Replaces stepping the reference's enjoy loop thousands of times for the
+    eval-protocol statistics (quadrotor_multi.py:625-718 metric definitions);
+    the deterministic policy (action mean) matches the un-vmapped path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from quadswarm_tpu.env.multi import batched_env_step, env_reset
+
+    e = args.eval_envs
+    rounds = max(1, -(-args.max_num_episodes // e))  # ceil
+    ep_len = env_cfg.ep_len + 1  # done fires at tick ep_len + 1 (env_step)
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def eval_round(params, round_key):
+        reset_keys = jax.random.split(jax.random.fold_in(round_key, 0), e)
+        states, obs = jax.vmap(lambda k: env_reset(env_cfg, dyn, k))(reset_keys)
+        tick_keys = jax.random.split(jax.random.fold_in(round_key, 1), ep_len)
+
+        def tick(carry, k):
+            states, obs, rew_sum = carry
+            n = env_cfg.num_agents
+            mean, _, _ = model.apply(params, obs.reshape(e * n, -1))
+            actions = mean.astype(env_cfg.dtype).reshape(e, n, -1)
+            states, obs, rew, dones, info = batched_env_step(
+                env_cfg, dyn, states, actions, jax.random.split(k, e))
+            return (states, obs, rew_sum + rew.astype(jnp.float32)), None
+
+        carry = (states, obs, jnp.zeros((e, env_cfg.num_agents), jnp.float32))
+        # ep_len - 1 ticks discard info; the final tick is the done tick and
+        # its info carries the episode stats
+        carry, _ = jax.lax.scan(tick, carry, tick_keys[:-1])
+        states, obs, rew_sum = carry
+        n = env_cfg.num_agents
+        mean, _, _ = model.apply(params, obs.reshape(e * n, -1))
+        actions = mean.astype(env_cfg.dtype).reshape(e, n, -1)
+        _, _, rew, dones, info = batched_env_step(
+            env_cfg, dyn, states, actions, jax.random.split(tick_keys[-1], e))
+        rew_sum = rew_sum + rew.astype(jnp.float32)
+        return rew_sum, dones, info
+
+    episode_stats = []
+    for rnd in range(rounds):
+        key, rk = jax.random.split(key)
+        rew_sum, dones, info = jax.device_get(eval_round(params, rk))
+        assert dones.all(), "round length must equal the episode length"
+        for i in range(e):
+            stats = {k: np.asarray(v)[i].mean() for k, v in info.items()
+                     if not k.startswith("rewards/")
+                     and not k.startswith("replay/")}
+            stats["episode_reward"] = float(rew_sum[i].mean())
+            episode_stats.append(stats)
+        print(f"round {rnd}: {e} episodes, "
+              f"mean reward={float(rew_sum.mean()):.2f}")
+
+    episode_stats = episode_stats[:max(args.max_num_episodes, e)]
+    agg = {k: float(np.mean([s[k] for s in episode_stats]))
+           for k in episode_stats[0]}
+    print(f"=== mean over {len(episode_stats)} episodes ===")
     for k, v in sorted(agg.items()):
         print(f"  {k}: {v:.4f}")
     return agg

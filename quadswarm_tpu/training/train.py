@@ -23,8 +23,9 @@ import numpy as np
 def main(argv=None) -> int:
     from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
     from quadswarm_tpu.training.config import (
-        anneal_schedules_from_args, env_config_from_args, model_from_args,
-        parse_swarm_cfg, ppo_config_from_args, save_cfg,
+        anneal_schedules_from_args, base_rew_coeff_from_args,
+        env_config_from_args, model_from_args, parse_swarm_cfg,
+        ppo_config_from_args, save_cfg,
     )
     from quadswarm_tpu.utils.checkpoint import (
         checkpoint_dir, latest_checkpoint, load_checkpoint, save_checkpoint,
@@ -32,6 +33,24 @@ def main(argv=None) -> int:
     from quadswarm_tpu.utils.metrics import MetricLogger, aggregate_episode_stats
 
     args = parse_swarm_cfg(argv)
+    mesh = None
+    if args.multi_host:
+        # One training job over every chip of the slice: jax.distributed
+        # brings up the cross-host runtime BEFORE any backend use, the env
+        # batch shards over the global device mesh, and the learner's
+        # gradient all-reduce rides ICI/DCN (SURVEY.md §2.2; replaces the
+        # reference's independent-Slurm-jobs story).
+        from quadswarm_tpu.parallel.distributed import (
+            global_data_mesh, init_distributed,
+        )
+        if args.with_pbt:
+            raise ValueError("--multi_host with PBT is not supported yet; "
+                             "run PBT via the launcher's per-job processes")
+        init_distributed()
+        import jax as _jax
+        mesh = global_data_mesh()
+        print(f"multi-host: process {_jax.process_index()}/"
+              f"{_jax.process_count()}, {len(_jax.devices())} global devices")
     exp_dir = os.path.join(args.train_dir, args.experiment)
     save_cfg(args, exp_dir)
 
@@ -41,6 +60,7 @@ def main(argv=None) -> int:
     dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(
         np.float32)
     anneal = anneal_schedules_from_args(args)
+    base_coeff = base_rew_coeff_from_args(args)
 
     if args.with_pbt and args.num_policies > 1:
         from quadswarm_tpu.parallel.pbt import PBTConfig, PBTRunner
@@ -51,6 +71,7 @@ def main(argv=None) -> int:
             replace_fraction=args.pbt_replace_fraction,
             mutation_rate=args.pbt_mutation_rate,
             replace_reward_gap=args.pbt_replace_reward_gap,
+            replace_reward_gap_absolute=args.pbt_replace_reward_gap_absolute,
             perturb_range=(1.0 / args.pbt_perturb_max, args.pbt_perturb_max),
             optimize_gamma=args.pbt_optimize_gamma,
         )
@@ -59,7 +80,8 @@ def main(argv=None) -> int:
             from quadswarm_tpu.utils.metrics import MetricLogger
             import jax as _jax
             runner = MixedPBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
-                                    seed=args.seed, exp_dir=exp_dir)
+                                    seed=args.seed, exp_dir=exp_dir,
+                                    base_rew_coeff=base_coeff)
             if runner.restore(args.train_dir, args.experiment):
                 print(f"resumed mixed PBT at {runner.env_steps} env steps")
             logger = MetricLogger(exp_dir)
@@ -91,7 +113,7 @@ def main(argv=None) -> int:
             return 0
         runner = PBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
                            seed=args.seed, anneal_schedules=anneal,
-                           exp_dir=exp_dir)
+                           exp_dir=exp_dir, base_rew_coeff=base_coeff)
         runner.train(args.train_for_env_steps)
         return 0
 
@@ -99,11 +121,13 @@ def main(argv=None) -> int:
         from quadswarm_tpu.parallel.appo import APPOTrainer
         trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
                               anneal_schedules=anneal,
-                              policy_lag=args.policy_lag)
+                              policy_lag=args.policy_lag,
+                              base_rew_coeff=base_coeff, mesh=mesh)
     else:
         from quadswarm_tpu.parallel.ppo import Trainer
         trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
-                          anneal_schedules=anneal)
+                          anneal_schedules=anneal, base_rew_coeff=base_coeff,
+                          mesh=mesh)
     cp_dir = checkpoint_dir(args.train_dir, args.experiment)
     cp = latest_checkpoint(cp_dir)
     if cp is not None:
@@ -124,6 +148,10 @@ def main(argv=None) -> int:
     it = 0
     last_t, last_steps = time.time(), trainer.env_steps
     profiler = None
+    # Best-checkpoint tracking (--load_checkpoint_kind=best in enjoy):
+    # windowed mean of episode true_reward, like SF's best_* checkpoints.
+    best_objective = -float("inf")
+    recent_true_rewards: list[float] = []
     try:
         while trainer.env_steps < args.train_for_env_steps:
             metrics, infos = trainer.iteration()
@@ -143,6 +171,15 @@ def main(argv=None) -> int:
                 import jax
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m.update(aggregate_episode_stats(jax.device_get(infos)))
+                if "true_reward" in m:
+                    recent_true_rewards.append(m["true_reward"])
+                    recent_true_rewards = recent_true_rewards[-10:]
+                    objective = float(np.mean(recent_true_rewards))
+                    if (len(recent_true_rewards) >= 3
+                            and objective > best_objective):
+                        best_objective = objective
+                        save_checkpoint(cp_dir, trainer.train_state,
+                                        trainer.env_steps, keep=1, tag="best")
                 now = time.time()
                 # windowed SPS (first window absorbs jit compilation)
                 m["perf/sps"] = ((trainer.env_steps - last_steps)
