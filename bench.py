@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import quadswarm_tpu  # noqa: F401  (honors JAX_PLATFORMS before backend init)
+
 BASELINE_SPS_8_QUADS = 62_042.0  # reference paper/fps_compare.py:7-8
 
 
@@ -92,14 +94,21 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
     }
 
 
-def bench_train(num_envs: int = 256, num_agents: int = 8,
+def bench_train(num_envs: int = 1024, num_agents: int = 8,
                 iters: int = 10, use_pallas: bool | None = None,
-                replay_sample_prob: float = 0.75) -> dict:
+                replay_sample_prob: float = 0.75,
+                model_dtype=None) -> dict:
     """End-to-end training throughput (rollout + PPO update, one chip):
     the 8-drone mix baseline config (rollout 128, batch 1024, replay
-    buffer on, corl attention encoder), same delta-method timing."""
+    buffer on, corl attention encoder), same delta-method timing.
+
+    Model compute runs in bfloat16 on TPU (the training CLI default,
+    --model_dtype=auto); params/optimizer/loss math stay f32."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if model_dtype is None:
+        model_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                       else jnp.float32)
     from quadswarm_tpu.env.multi import EnvConfig
     from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
     from quadswarm_tpu.models.actor_critic import ActorCritic
@@ -116,7 +125,7 @@ def bench_train(num_envs: int = 256, num_agents: int = 8,
         self_obs_dim=18, neighbor_obs_dim=6,
         num_neighbors=env_cfg.neighbor_visible_num,
         encoder_type="corl", neighbor_encoder_type="attention",
-        rnn_size=256, neighbor_hidden=256)
+        rnn_size=256, neighbor_hidden=256, dtype=model_dtype)
     dyn = DynamicsParams.from_model(crazyflie_params(),
                                     dt=env_cfg.dt).astype(np.float32)
     trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=0)
@@ -162,9 +171,17 @@ if __name__ == "__main__":
     p.add_argument("--train", action="store_true",
                    help="measure end-to-end training throughput "
                         "(rollout + PPO update) instead of sim-only SPS")
+    p.add_argument("--train_envs", type=int, default=1024,
+                   help="env batch for --train")
+    p.add_argument("--train_iters", type=int, default=10)
+    p.add_argument("--model_f32", action="store_true",
+                   help="force float32 model compute in --train")
     args = p.parse_args()
     if args.train:
-        print(json.dumps(bench_train(use_pallas=args.pallas)))
+        print(json.dumps(bench_train(
+            num_envs=args.train_envs, iters=args.train_iters,
+            use_pallas=args.pallas,
+            model_dtype=jnp.float32 if args.model_f32 else None)))
     elif args.sweep:
         import sys
 
