@@ -25,24 +25,8 @@ def neighbor_obs(pos: jax.Array, vel: jax.Array, num_use_neighbor_obs: int,
     k = num_use_neighbor_obs
     rel_pos = pos[None, :, :] - pos[:, None, :]   # (i, j) = p_j - p_i
     rel_vel = vel[None, :, :] - vel[:, None, :]
-    eye = jnp.eye(n, dtype=bool)
     rel = jnp.concatenate([rel_pos, rel_vel], axis=-1)  # (N, N, 6)
-
-    if k >= n - 1:
-        # All neighbors in index order, skipping self (reference indices
-        # [[j for j != i]]); static one-hot selection matrix.
-        idx = jnp.asarray(
-            [[j for j in range(n) if j != i] for i in range(n)], jnp.int32
-        )  # (N, N-1)
-    else:
-        dist = jnp.linalg.norm(rel_pos, axis=-1)
-        dist_safe = jnp.maximum(dist, 0.01)
-        unit = rel_pos / dist_safe[..., None]
-        metric = dist_safe + jnp.sum(unit * rel_vel, axis=-1)
-        metric = jnp.where(eye, jnp.inf, metric)
-        # top_k on -metric == reference's ascending argsort[:k] (ties break
-        # by index in both)
-        _, idx = jax.lax.top_k(-metric, k)
+    idx = neighbor_indices(pos, vel, k)
 
     # Select rows via a one-hot mask + sum instead of a gather: XLA gathers
     # (take_along_axis / advanced indexing) are scalar-indexed loads that
@@ -54,6 +38,30 @@ def neighbor_obs(pos: jax.Array, vel: jax.Array, num_use_neighbor_obs: int,
     if clip_lo is not None:
         obs = jnp.clip(obs, clip_lo, clip_hi)
     return obs
+
+
+def neighbor_indices(pos: jax.Array, vel: jax.Array, k: int) -> jax.Array:
+    """(N, k) int32 — which agent fills each neighbor-obs slot of each drone
+    (the ordering `neighbor_obs` uses; also consumed by the attention
+    heat-map tool to map attention weights back to agent identities)."""
+    n = pos.shape[0]
+    if k >= n - 1:
+        # All neighbors in index order, skipping self (reference indices
+        # [[j for j != i]]); static one-hot selection matrix.
+        return jnp.asarray(
+            [[j for j in range(n) if j != i] for i in range(n)], jnp.int32
+        )  # (N, N-1)
+    rel_pos = pos[None, :, :] - pos[:, None, :]
+    rel_vel = vel[None, :, :] - vel[:, None, :]
+    dist = jnp.linalg.norm(rel_pos, axis=-1)
+    dist_safe = jnp.maximum(dist, 0.01)
+    unit = rel_pos / dist_safe[..., None]
+    metric = dist_safe + jnp.sum(unit * rel_vel, axis=-1)
+    metric = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, metric)
+    # top_k on -metric == reference's ascending argsort[:k] (ties break
+    # by index in both)
+    _, idx = jax.lax.top_k(-metric, k)
+    return idx
 
 
 def neighbor_clip_bounds(num_use_neighbor_obs: int, room_dims, vxyz_max: float,

@@ -136,6 +136,9 @@ class NeighborEncoderAttention(nn.Module):
                      dtype=self.dtype, name="attention_mlp")(
             jnp.concatenate([e, e_mean], axis=-1))
         alpha = jax.nn.softmax(scores[..., 0], axis=1)
+        # Recorded only under apply(..., mutable=["intermediates"]) — the
+        # attention heat-map tool (analysis/attention.py); no-op in training.
+        self.sow("intermediates", "attn", alpha)
         return jnp.sum(alpha[..., None] * h, axis=1)
 
 
@@ -229,11 +232,14 @@ class QuadMultiHeadAttentionEncoder(nn.Module):
         ob_embed = MLP(depth, self.act, dtype=self.dtype, name="obstacle_embed")(ob)
         tokens = jnp.stack([nb_embed, ob_embed], axis=1)  # (b, 2, d)
         if self.sim2real:
-            attn_out, _ = OneHeadAttention(self.rnn_size, dtype=self.dtype,
-                                           name="attention")(tokens, tokens, tokens)
+            attn_out, attn_w = OneHeadAttention(
+                self.rnn_size, dtype=self.dtype,
+                name="attention")(tokens, tokens, tokens)
         else:
-            attn_out, _ = MultiHeadAttention(4, self.rnn_size, dtype=self.dtype,
-                                             name="attention")(tokens, tokens, tokens)
+            attn_out, attn_w = MultiHeadAttention(
+                4, self.rnn_size, dtype=self.dtype,
+                name="attention")(tokens, tokens, tokens)
+        self.sow("intermediates", "attn", attn_w)
         b = obs.shape[0]
         x = jnp.concatenate([self_embed, attn_out.reshape(b, -1)], axis=-1)
         out_size = self.rnn_size if self.sim2real else 2 * self.rnn_size

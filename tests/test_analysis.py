@@ -61,3 +61,32 @@ def test_recycle_dense_pair_zeroes_dormant_outputs():
     assert bool((w_out2[0] == 0).all()) and float(b_in2[0]) == 0.0
     assert not bool(jnp.allclose(w_in2[:, 0], 1.0))       # re-initialized
     np.testing.assert_array_equal(np.asarray(w_out2[1:]), np.ones((7, 3)))
+
+
+def test_episode_attention_heatmap(tmp_path):
+    """Live attention extraction: row-stochastic (N, N) matrix with zero
+    diagonal, and the plot writes a PNG (exceeds the reference's
+    paper/attn_heatmap.py, which plots hardcoded constants)."""
+    from quadswarm_tpu.analysis.attention import episode_attention, plot_heatmap
+    from quadswarm_tpu.env.multi import EnvConfig
+    from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
+    from quadswarm_tpu.models.actor_critic import ActorCritic
+
+    env_cfg = EnvConfig(num_agents=4, ep_time=2.0, neighbor_obs_type="pos_vel",
+                        neighbor_visible_num=2, quads_mode="static_same_goal",
+                        dtype=jnp.float32)
+    model = ActorCritic(self_obs_dim=18, neighbor_obs_dim=6, num_neighbors=2,
+                        encoder_type="corl", neighbor_encoder_type="attention",
+                        rnn_size=16, neighbor_hidden=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, env_cfg.obs_dim)))
+    dyn = DynamicsParams.from_model(crazyflie_params(),
+                                    dt=env_cfg.dt).astype(np.float32)
+    mat = episode_attention(env_cfg, dyn, model, params, jax.random.PRNGKey(1),
+                            max_ticks=10)
+    assert mat.shape == (4, 4)
+    np.testing.assert_allclose(mat.sum(axis=1), np.ones(4), rtol=1e-6)
+    np.testing.assert_allclose(np.diag(mat), np.zeros(4), atol=1e-12)
+    out = str(tmp_path / "attn.png")
+    plot_heatmap(mat, out)
+    assert (tmp_path / "attn.png").stat().st_size > 1000
