@@ -37,6 +37,10 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
         neighbor_visible_num=min(6, num_agents - 1) if num_agents > 1 else 0,
         quads_mode="mix" if num_agents > 1 else "static_same_goal",
         use_pallas_dynamics=use_pallas,
+        # Fused pair kernels for large swarms (same gate as the train CLI:
+        # the blockwise path beats the XLA (N, N) matrices from N=128 up)
+        use_pallas_pairs=(jax.default_backend() == "tpu"
+                          and num_agents >= 128),
         dtype=jnp.float32)
     dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(np.float32)
 
