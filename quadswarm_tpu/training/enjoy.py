@@ -60,6 +60,7 @@ def run_eval(args) -> dict:
 
     step = jax.jit(lambda s, a, k: env_step(env_cfg, dyn, s, a, k))
     policy = jax.jit(lambda p, o: model.apply(p, o)[0])  # deterministic mean
+    viz_v = getattr(args, "visualize_v_value", False)
 
     episode_stats = []
     for ep in range(args.max_num_episodes):
@@ -72,7 +73,7 @@ def run_eval(args) -> dict:
             key, sk = jax.random.split(key)
             actions = policy(params, obs)
             state, obs, rew, dones, info = step(state, actions, sk)
-            rec.record(state, rew)
+            rec.record(state, rew, obs=obs[0] if viz_v else None)
             ep_reward += np.asarray(rew)
             done = bool(dones[0])
             if done:
@@ -83,7 +84,7 @@ def run_eval(args) -> dict:
         print(f"episode {ep}: reward={episode_stats[-1]['episode_reward']:.2f} "
               f"collisions={episode_stats[-1]['num_collisions']:.0f}")
         out_dir = os.path.join(args.render_out, f"ep{ep:03d}")
-        if getattr(args, "visualize_v_value", False):
+        if viz_v:
             # Critic-value heatmap around drone 0 at episode end
             # (swarm_rl/env_wrappers/v_value_map.py:47-62).
             from quadswarm_tpu.utils.render import v_value_map
@@ -110,10 +111,22 @@ def run_eval(args) -> dict:
             if env_cfg.use_obstacles:
                 active = np.asarray(state.obst_active)
                 obstacles = np.asarray(state.obst_pos)[active][:, :2]
+            v_maps = None
+            if viz_v and rec.obs:
+                # Live side panel: per-rendered-tick critic heatmaps
+                # (reference V_ValueMapWrapper.render concatenates the map
+                # beside the env frame every frame, v_value_map.py:28-37)
+                from quadswarm_tpu.utils.render import v_value_maps
+                every_nth = 10  # render_trajectory default
+                ticks = list(range(0, len(rec.obs), every_nth))
+                maps = v_value_maps(
+                    model, params, np.stack([rec.obs[t] for t in ticks]))
+                v_maps = {t: maps[i] for i, t in enumerate(ticks)}
             render_trajectory(rec, out_dir, room_dims=env_cfg.room_dims,
                               views=tuple(args.quads_view_mode),
                               obstacles=obstacles,
-                              obst_size=float(state.obst_size))
+                              obst_size=float(state.obst_size),
+                              v_maps=v_maps)
             print(f"frames -> {out_dir}")
         elif args.render_mode == "dump":
             os.makedirs(args.render_out, exist_ok=True)

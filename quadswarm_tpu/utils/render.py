@@ -28,13 +28,16 @@ class TrajectoryRecorder:
     goals: list = field(default_factory=list)      # [T] (N, 3)
     collisions: list = field(default_factory=list)  # [T] (N,) bool
     rewards: list = field(default_factory=list)
+    obs: list = field(default_factory=list)        # [T] (N, obs_dim), optional
 
-    def record(self, state, reward=None) -> None:
+    def record(self, state, reward=None, obs=None) -> None:
         self.pos.append(np.asarray(state.dyn.pos))
         self.goals.append(np.asarray(state.scenario.goals))
         self.collisions.append(np.asarray(state.prev_coll_ids))
         if reward is not None:
             self.rewards.append(np.asarray(reward))
+        if obs is not None:
+            self.obs.append(np.asarray(obs))
 
     def arrays(self):
         return (np.stack(self.pos), np.stack(self.goals),
@@ -66,16 +69,22 @@ def _set_view(ax, view: str, center, room_dims):
 
 def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
                  views=("topdown", "chase", "global"), trace=None,
-                 obstacles=None, obst_size=1.0, figsize_per_view=4):
-    """Render one tick to an RGB array (H, W, 3) with one panel per view."""
+                 obstacles=None, obst_size=1.0, figsize_per_view=4,
+                 v_map=None, v_extent=2.0):
+    """Render one tick to an RGB array (H, W, 3) with one panel per view.
+
+    `v_map` (2D array) appends a critic-value heatmap panel beside the env
+    views — the live side-panel of the reference's V_ValueMapWrapper.render
+    (swarm_rl/env_wrappers/v_value_map.py:28-37)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     n_views = len(views)
-    fig = plt.figure(figsize=(figsize_per_view * n_views, figsize_per_view))
+    n_panels = n_views + (1 if v_map is not None else 0)
+    fig = plt.figure(figsize=(figsize_per_view * n_panels, figsize_per_view))
     for vi, view in enumerate(views):
-        ax = fig.add_subplot(1, n_views, vi + 1, projection="3d")
+        ax = fig.add_subplot(1, n_panels, vi + 1, projection="3d")
         _set_view(ax, view, pos.mean(axis=0), room_dims)
         for i in range(pos.shape[0]):
             color = "k" if collisions[i] else QUAD_COLORS[i % len(QUAD_COLORS)]
@@ -95,6 +104,13 @@ def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
                     ax.plot(ob[0] + r * np.cos(theta), ob[1] + r * np.sin(theta),
                             z, color="g", alpha=0.5, linewidth=0.8)
         ax.set_title(view, fontsize=8)
+    if v_map is not None:
+        ax = fig.add_subplot(1, n_panels, n_panels)
+        ax.imshow(np.asarray(v_map), origin="lower",
+                  extent=[-v_extent, v_extent, -v_extent, v_extent],
+                  cmap="viridis")
+        ax.plot(0.0, 0.0, marker="o", color="w", markersize=4)
+        ax.set_title("V(s) around drone 0", fontsize=8)
     fig.tight_layout()
     fig.canvas.draw()
     buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
@@ -106,8 +122,12 @@ def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
                       room_dims=(10.0, 10.0, 10.0),
                       views=("topdown", "chase", "global"),
                       every_nth: int = 10, obstacles=None, obst_size=1.0,
-                      viz_traces: int = 25, save_mp4: bool = True) -> list[str]:
-    """Render a recorded trajectory to PNG frames (+ mp4 if ffmpeg exists)."""
+                      viz_traces: int = 25, save_mp4: bool = True,
+                      v_maps=None, v_extent: float = 2.0) -> list[str]:
+    """Render a recorded trajectory to PNG frames (+ mp4 if ffmpeg exists).
+
+    `v_maps`, a dict {tick: 2D array}, appends the per-tick critic-value
+    heatmap panel (see render_frame)."""
     os.makedirs(out_dir, exist_ok=True)
     pos, goals, cols = recorder.arrays()
     paths = []
@@ -116,7 +136,9 @@ def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
         trace = pos[max(0, t - viz_traces):t + 1]
         frame = render_frame(pos[t], goals[t], cols[t], room_dims, views,
                              trace=trace, obstacles=obstacles,
-                             obst_size=obst_size)
+                             obst_size=obst_size,
+                             v_map=None if v_maps is None else v_maps.get(t),
+                             v_extent=v_extent)
         path = os.path.join(out_dir, f"frame_{t:05d}.png")
         import matplotlib.pyplot as plt
         plt.imsave(path, frame)
@@ -159,3 +181,23 @@ def v_value_map(model, params, obs_template: np.ndarray, drone_xy: np.ndarray,
     obs[:, 1] = obs_template[1] + grid[:, 1]
     _, _, values = model.apply(params, jnp.asarray(obs))
     return np.asarray(values).reshape(resolution, resolution)
+
+
+def v_value_maps(model, params, obs_seq: np.ndarray, extent: float = 2.0,
+                 resolution: int = 30) -> dict[int, np.ndarray]:
+    """Per-tick critic-value heatmaps for a sequence of drone-0 observations
+    [T, obs_dim] (one batched forward for all ticks); returns {tick: map}.
+    Feeds the live side panel of render_trajectory (the reference computes
+    this sweep every rendered frame, v_value_map.py:47-62)."""
+    import jax.numpy as jnp
+
+    t_dim = obs_seq.shape[0]
+    xs = np.linspace(-extent, extent, resolution)
+    ys = np.linspace(-extent, extent, resolution)
+    grid = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)  # (R*R, 2)
+    obs = np.repeat(obs_seq[:, None, :], grid.shape[0], axis=1)   # (T, R*R, D)
+    obs[..., 0] += grid[None, :, 0]
+    obs[..., 1] += grid[None, :, 1]
+    _, _, values = model.apply(params, jnp.asarray(obs.reshape(-1, obs.shape[-1])))
+    maps = np.asarray(values, np.float32).reshape(t_dim, resolution, resolution)
+    return dict(enumerate(maps))

@@ -77,6 +77,11 @@ def test_render_frame():
     frame = render_frame(pos, goals, cols, views=("topdown", "global"))
     assert frame.ndim == 3 and frame.shape[2] == 3
     assert frame.shape[0] > 100 and frame.shape[1] > 100
+    # Live critic side panel (reference V_ValueMapWrapper.render) widens
+    # the frame by one panel
+    with_v = render_frame(pos, goals, cols, views=("topdown", "global"),
+                          v_map=np.random.rand(16, 16))
+    assert with_v.shape[1] > frame.shape[1]
 
 
 def test_reference_baseline_cli_parses_unmodified():
