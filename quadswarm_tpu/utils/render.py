@@ -50,7 +50,8 @@ class TrajectoryRecorder:
 
 
 def _set_view(ax, view: str, center, room_dims):
-    if view == "topdown":
+    follow = view in ("chase", "topdownfollow")
+    if view in ("topdown", "topdownfollow"):
         ax.view_init(elev=90, azim=-90)
     elif view == "side":
         ax.view_init(elev=0, azim=-90)
@@ -61,10 +62,18 @@ def _set_view(ax, view: str, center, room_dims):
         ax.view_init(elev=35, azim=45 + 90 * idx)
     else:  # global
         ax.view_init(elev=40, azim=-70)
-    half_l, half_w = room_dims[0] / 2, room_dims[1] / 2
-    ax.set_xlim(-half_l, half_l)
-    ax.set_ylim(-half_w, half_w)
-    ax.set_zlim(0, room_dims[2])
+    if follow:
+        # Follow cameras track the swarm center with a tight window
+        # (ChaseCamera / TopDownFollow, quadrotor_multi_visualization.py)
+        r = 2.5
+        ax.set_xlim(center[0] - r, center[0] + r)
+        ax.set_ylim(center[1] - r, center[1] + r)
+        ax.set_zlim(max(0.0, center[2] - r), center[2] + r)
+    else:
+        half_l, half_w = room_dims[0] / 2, room_dims[1] / 2
+        ax.set_xlim(-half_l, half_l)
+        ax.set_ylim(-half_w, half_w)
+        ax.set_zlim(0, room_dims[2])
 
 
 def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
