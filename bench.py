@@ -155,6 +155,27 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
     }
 
 
+def _backend_watchdog(timeout_s: float) -> None:
+    """Bound backend bring-up: the hosted-TPU tunnel can hang indefinitely
+    waiting for a pool grant (jax.devices() never returns).  Probe it on a
+    daemon thread and hard-exit if it never comes up, so a dead tunnel
+    fails the bench in bounded time instead of hanging the caller."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(f"ERROR: backend init did not complete within {timeout_s:.0f}s "
+              "(TPU tunnel down?)", file=__import__("sys").stderr, flush=True)
+        os._exit(3)
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -181,6 +202,8 @@ if __name__ == "__main__":
     p.add_argument("--model_f32", action="store_true",
                    help="force float32 model compute in --train")
     args = p.parse_args()
+    import os as _os
+    _backend_watchdog(float(_os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
     if args.train:
         print(json.dumps(bench_train(
             num_envs=args.train_envs, iters=args.train_iters,
