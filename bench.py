@@ -24,7 +24,7 @@ BASELINE_SPS_8_QUADS = 62_042.0  # reference paper/fps_compare.py:7-8
 
 def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
           warmup_blocks: int = 2, blocks: int = 5,
-          use_pallas: bool | None = None) -> dict:
+          use_pallas: bool | None = None, obstacles: bool = False) -> dict:
     if use_pallas is None:
         # Fused Pallas dynamics is the default on real TPU; the XLA path is
         # the fallback elsewhere (pallas interpret mode would be very slow).
@@ -32,10 +32,18 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
     from quadswarm_tpu.env.multi import EnvConfig, batched_env_step, env_reset
     from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
 
+    if obstacles:
+        # The obstacle-family baseline (runs/obstacles/quad_obstacle_baseline):
+        # octomap SDF obs, obstacle collisions, floor obs repr, o_ modes
+        mode = "mix" if num_agents > 1 else "o_random"
+    else:
+        mode = "mix" if num_agents > 1 else "static_same_goal"
     env_cfg = EnvConfig(
         num_agents=num_agents, neighbor_obs_type="pos_vel",
         neighbor_visible_num=min(6, num_agents - 1) if num_agents > 1 else 0,
-        quads_mode="mix" if num_agents > 1 else "static_same_goal",
+        quads_mode=mode,
+        use_obstacles=obstacles,
+        obs_repr="xyz_vxyz_R_omega_floor" if obstacles else "xyz_vxyz_R_omega",
         use_pallas_dynamics=use_pallas,
         # Fused pair kernels for large swarms (same gate as the train CLI:
         # the blockwise path beats the XLA (N, N) matrices from N=128 up)
@@ -90,8 +98,10 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
 
     agent_steps = num_envs * num_agents * block * blocks
     sps = agent_steps / elapsed
+    label = f"{num_agents}-drone swarm, {num_envs} envs" + (
+        ", obstacles" if obstacles else "")
     return {
-        "metric": f"sim env-steps/s ({num_agents}-drone swarm, {num_envs} envs)",
+        "metric": f"sim env-steps/s ({label})",
         "value": round(sps),
         "unit": "agent-steps/s",
         "vs_baseline": round(sps / BASELINE_SPS_8_QUADS, 2),
@@ -201,6 +211,9 @@ if __name__ == "__main__":
     p.add_argument("--train_iters", type=int, default=10)
     p.add_argument("--model_f32", action="store_true",
                    help="force float32 model compute in --train")
+    p.add_argument("--obstacles", action="store_true",
+                   help="bench the obstacle family (octomap SDF obs, "
+                        "obstacle collisions) instead of free space")
     args = p.parse_args()
     import os as _os
     _backend_watchdog(float(_os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
@@ -228,5 +241,5 @@ if __name__ == "__main__":
     else:
         result = bench(num_envs=args.num_envs, num_agents=args.num_agents,
                        block=args.block, blocks=args.blocks,
-                       use_pallas=args.pallas)
+                       use_pallas=args.pallas, obstacles=args.obstacles)
         print(json.dumps(result))
