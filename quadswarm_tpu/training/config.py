@@ -94,7 +94,10 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
                    choices=["topdown", "chase", "side", "global", "corner0",
                             "corner1", "corner2", "corner3", "topdownfollow"])
     p.add_argument("--quads_render", default=False, type=str2bool)
-    p.add_argument("--visualize_v_value", action="store_true")
+    # nargs="?" so both SF-style `--visualize_v_value=True` and the bare
+    # `--visualize_v_value` switch form parse (reference enjoy README usage).
+    p.add_argument("--visualize_v_value", default=False, type=str2bool,
+                   nargs="?", const=True)
     # Sim2Real
     p.add_argument("--quads_sim2real", default=False, type=str2bool)
 
