@@ -246,9 +246,11 @@ class MixedPBTRunner:
 
         key = jax.random.PRNGKey(seed)
         self.key, k_model, k_env, k_assign = jax.random.split(key, 4)
-        self.tx = optax.chain(
+        # flatten: clip+adam run on one concatenated vector per policy
+        # instead of ~40 per-leaf kernels (see ppo.make_train_state).
+        self.tx = optax.flatten(optax.chain(
             optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
-            optax.adam(ppo_cfg.learning_rate))
+            optax.adam(ppo_cfg.learning_rate)))
         init_keys = jax.random.split(k_model, p_count)
         obs_dim = env_cfg.obs_dim
         self.params = jax.vmap(

@@ -255,10 +255,15 @@ def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
 def make_train_state(model: ActorCritic, ppo_cfg: PPOConfig, key,
                      obs_dim: int) -> TrainState:
     params = model.init(key, jnp.zeros((1, obs_dim)))
-    tx = optax.chain(
+    # optax.flatten: run clip+adam on ONE concatenated parameter vector
+    # instead of ~40 small per-leaf kernels.  Mathematically identical
+    # (global-norm clip and Adam are elementwise/global either way), but the
+    # SGD inner loop is minibatch-latency-bound on TPU — hundreds of tiny
+    # dispatches per update step were a large share of the learner budget.
+    tx = optax.flatten(optax.chain(
         optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
         optax.adam(ppo_cfg.learning_rate),
-    )
+    ))
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
