@@ -59,6 +59,7 @@ def main():
     p.add_argument("--no_replay", action="store_true")
     p.add_argument("--rollout", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--sgd_unroll", type=int, default=1)
     args = p.parse_args()
 
     from quadswarm_tpu.env.multi import EnvConfig
@@ -76,7 +77,7 @@ def main():
         quads_mode="mix", use_pallas_dynamics=on_tpu, dtype=jnp.float32)
     ppo_cfg = PPOConfig(
         rollout=args.rollout, batch_size=args.batch_size,
-        num_envs=args.num_envs,
+        num_envs=args.num_envs, sgd_unroll=args.sgd_unroll,
         replay_sample_prob=0.0 if args.no_replay else 0.75)
     model = ActorCritic(
         self_obs_dim=18, neighbor_obs_dim=6,

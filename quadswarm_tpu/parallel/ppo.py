@@ -60,6 +60,10 @@ class PPOConfig:
     with_vtrace: bool = struct.field(pytree_node=False, default=False)
     vtrace_rho: float = struct.field(pytree_node=False, default=1.0)
     vtrace_c: float = struct.field(pytree_node=False, default=1.0)
+    # XLA unroll factor for the sequential minibatch-SGD scan: >1 trades
+    # compile time for fewer scalar-core loop bubbles between the (small)
+    # per-minibatch programs.  Pure performance knob — no semantic effect.
+    sgd_unroll: int = struct.field(pytree_node=False, default=1)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in
@@ -242,7 +246,8 @@ def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
             (loss, metrics), grads = grad_fn(train_state.params)
             return train_state.apply_gradients(grads=grads), metrics
 
-        return jax.lax.scan(minibatch, train_state, batched)
+        return jax.lax.scan(minibatch, train_state, batched,
+                            unroll=min(ppo_cfg.sgd_unroll, num_minibatches))
 
     epoch_keys = jax.random.split(key, ppo_cfg.num_epochs)
     metrics_all = None
