@@ -39,7 +39,9 @@ from quadswarm_tpu.env.reward import RewardCoeffs
 from quadswarm_tpu.models.actor_critic import (
     ActorCritic, gaussian_entropy, gaussian_log_prob, sample_actions,
 )
-from quadswarm_tpu.parallel.ppo import PPOConfig, compute_gae
+from quadswarm_tpu.parallel.ppo import (
+    PPOConfig, compute_gae, shuffled_minibatches,
+)
 
 
 class MixedTransition(NamedTuple):
@@ -180,22 +182,8 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
         returns.reshape(total),
     )
     assign_flat = traj.assignment.reshape(total)
-    batch = min(ppo_cfg.batch_size, total)
-    num_minibatches = max(total // batch, 1)
-    chunk = min(256, batch)
-    while batch % chunk:
-        chunk //= 2
-    num_chunks = total // chunk
-    perm = jax.random.permutation(k_perm, num_chunks)
-
-    def to_minibatches(x):
-        return (x[: num_chunks * chunk]
-                .reshape((num_chunks, chunk) + x.shape[1:])[perm]
-                [: num_minibatches * (batch // chunk)]
-                .reshape((num_minibatches, batch) + x.shape[1:]))
-
-    batched = jax.tree.map(to_minibatches, flat)
-    assign_mb = to_minibatches(assign_flat)
+    batched, assign_mb = shuffled_minibatches(
+        (flat, assign_flat), total, ppo_cfg.batch_size, k_perm)
 
     def update_policy(pid, params, opt_state):
         def minibatch(carry, mb):

@@ -205,6 +205,37 @@ def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     return train_state, env_states, obs, replay_states, metrics, infos
 
 
+def shuffled_minibatches(flat, total: int, batch_size: int, key):
+    """Chunk-shuffled minibatch layout shared by sync PPO/APPO and mixed PBT.
+
+    Shuffles CHUNKS of samples, not individual rows: a random row
+    permutation makes x[perm] a 262k-row random gather (~170 ms/iter on
+    TPU, where scalar-indexed gathers serialize); permuting ~256-row
+    blocks keeps the gather coarse-grained and bandwidth-bound.  Chunk c
+    is the stride-num_chunks slice {c, c+num_chunks, c+2*num_chunks, ...}
+    of the flat buffer (a transpose, not a gather), so for a [T,E,N]-major
+    flattening every chunk — and therefore every minibatch — spans all
+    timesteps and many envs/agents rather than one timestep's contiguous
+    envs (the reference shuffles per-sample; docs/PARITY.md).
+
+    `flat` is a pytree of (total, ...) arrays; returns the same tree with
+    leaves reshaped to (num_minibatches, batch, ...).
+    """
+    num_minibatches = max(total // batch_size, 1)
+    batch = min(batch_size, total)
+    chunk = min(256, batch)
+    while batch % chunk:
+        chunk //= 2
+    num_chunks = total // chunk
+    perm = jax.random.permutation(key, num_chunks)
+    return jax.tree.map(
+        lambda x: x[: num_chunks * chunk].reshape(
+            (chunk, num_chunks) + x.shape[1:]).swapaxes(0, 1)[perm]
+        [: num_minibatches * (batch // chunk)].reshape(
+            (num_minibatches, batch) + x.shape[1:]),
+        flat)
+
+
 def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
                traj: Transition, advantages, returns, key):
     """Shuffled minibatch SGD over a flattened [T,E,N] trajectory (the
@@ -220,25 +251,9 @@ def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
         returns.reshape(total),
     )
     num_minibatches = max(total // ppo_cfg.batch_size, 1)
-    batch = min(ppo_cfg.batch_size, total)
-    # Shuffle CHUNKS of contiguous samples, not individual rows: a random
-    # row permutation makes x[perm] a 262k-row random gather (~170 ms/iter
-    # on TPU, where scalar-indexed gathers serialize); permuting ~256-row
-    # blocks keeps the gather coarse-grained and bandwidth-bound while still
-    # decorrelating minibatches across timesteps and envs.
-    chunk = min(256, batch)
-    while batch % chunk:
-        chunk //= 2
-    num_chunks = total // chunk
 
     def epoch(train_state, ek):
-        perm = jax.random.permutation(ek, num_chunks)
-        batched = jax.tree.map(
-            lambda x: x[: num_chunks * chunk].reshape(
-                (num_chunks, chunk) + x.shape[1:])[perm]
-            [: num_minibatches * (batch // chunk)].reshape(
-                (num_minibatches, batch) + x.shape[1:]),
-            flat)
+        batched = shuffled_minibatches(flat, total, ppo_cfg.batch_size, ek)
 
         def minibatch(train_state, batch):
             grad_fn = jax.value_and_grad(

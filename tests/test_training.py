@@ -176,3 +176,28 @@ def test_appo_lag0_without_vtrace_runs():
     trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=4, policy_lag=0)
     m, _ = trainer.iteration()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_shuffled_minibatches_layout():
+    """Minibatch layout: exact partition of the buffer, and every minibatch
+    spans all rollout timesteps (reference shuffles per-sample; the chunked
+    TPU layout must not collapse a minibatch onto one timestep)."""
+    from quadswarm_tpu.parallel.ppo import shuffled_minibatches
+
+    t_dim, e_dim, n_dim = 16, 64, 4
+    total = t_dim * e_dim * n_dim
+    flat_idx = jnp.arange(total)
+    batch_size = 512
+    mb = shuffled_minibatches((flat_idx,), total, batch_size, jax.random.PRNGKey(0))[0]
+    assert mb.shape == (total // batch_size, batch_size)
+    # exact partition: every sample appears exactly once
+    assert np.array_equal(np.sort(np.asarray(mb).ravel()), np.arange(total))
+    # decorrelation: each minibatch covers every timestep and many envs
+    tsteps = np.asarray(mb) // (e_dim * n_dim)
+    envs = (np.asarray(mb) // n_dim) % e_dim
+    for row_t, row_e in zip(tsteps, envs):
+        assert len(np.unique(row_t)) == t_dim, "minibatch must span all timesteps"
+        assert len(np.unique(row_e)) >= e_dim // 4, "minibatch must span many envs"
+    # different keys give different layouts
+    mb2 = shuffled_minibatches((flat_idx,), total, batch_size, jax.random.PRNGKey(1))[0]
+    assert not np.array_equal(np.asarray(mb), np.asarray(mb2))
