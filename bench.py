@@ -24,7 +24,8 @@ BASELINE_SPS_8_QUADS = 62_042.0  # reference paper/fps_compare.py:7-8
 
 def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
           warmup_blocks: int = 2, blocks: int = 5,
-          use_pallas: bool | None = None, obstacles: bool = False) -> dict:
+          use_pallas: bool | None = None, obstacles: bool = False,
+          mode: str | None = None) -> dict:
     if use_pallas is None:
         # Fused Pallas dynamics is the default on real TPU; the XLA path is
         # the fallback elsewhere (pallas interpret mode would be very slow).
@@ -35,9 +36,10 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
     if obstacles:
         # The obstacle-family baseline (runs/obstacles/quad_obstacle_baseline):
         # octomap SDF obs, obstacle collisions, floor obs repr, o_ modes
-        mode = "mix" if num_agents > 1 else "o_random"
+        default_mode = "mix" if num_agents > 1 else "o_random"
     else:
-        mode = "mix" if num_agents > 1 else "static_same_goal"
+        default_mode = "mix" if num_agents > 1 else "static_same_goal"
+    mode = mode or default_mode
     env_cfg = EnvConfig(
         num_agents=num_agents, neighbor_obs_type="pos_vel",
         neighbor_visible_num=min(6, num_agents - 1) if num_agents > 1 else 0,
@@ -99,7 +101,8 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
     agent_steps = num_envs * num_agents * block * blocks
     sps = agent_steps / elapsed
     label = f"{num_agents}-drone swarm, {num_envs} envs" + (
-        ", obstacles" if obstacles else "")
+        ", obstacles" if obstacles else "") + (
+        f", {mode}" if mode != default_mode else "")
     return {
         "metric": f"sim env-steps/s ({label})",
         "value": round(sps),
@@ -111,7 +114,7 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
 def bench_train(num_envs: int = 1024, num_agents: int = 8,
                 iters: int = 10, use_pallas: bool | None = None,
                 replay_sample_prob: float = 0.75,
-                model_dtype=None) -> dict:
+                model_dtype=None, sgd_unroll: int = 1) -> dict:
     """End-to-end training throughput (rollout + PPO update, one chip):
     the 8-drone mix baseline config (rollout 128, batch 1024, replay
     buffer on, corl attention encoder), same delta-method timing.
@@ -134,7 +137,8 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
         quads_mode="mix" if num_agents > 1 else "static_same_goal",
         use_pallas_dynamics=use_pallas, dtype=jnp.float32)
     ppo_cfg = PPOConfig(rollout=128, batch_size=1024, num_envs=num_envs,
-                        replay_sample_prob=replay_sample_prob)
+                        replay_sample_prob=replay_sample_prob,
+                        sgd_unroll=sgd_unroll)
     model = ActorCritic(
         self_obs_dim=18, neighbor_obs_dim=6,
         num_neighbors=env_cfg.neighbor_visible_num,
@@ -209,18 +213,24 @@ if __name__ == "__main__":
     p.add_argument("--train_envs", type=int, default=1024,
                    help="env batch for --train")
     p.add_argument("--train_iters", type=int, default=10)
+    p.add_argument("--sgd_unroll", type=int, default=1,
+                   help="XLA unroll factor for the minibatch-SGD scan "
+                        "in --train")
     p.add_argument("--model_f32", action="store_true",
                    help="force float32 model compute in --train")
     p.add_argument("--obstacles", action="store_true",
                    help="bench the obstacle family (octomap SDF obs, "
                         "obstacle collisions) instead of free space")
+    p.add_argument("--mode", type=str, default=None,
+                   help="override the scenario mode (e.g. static_same_goal "
+                        "for the no-curriculum ablation; default: mix)")
     args = p.parse_args()
     import os as _os
     _backend_watchdog(float(_os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
     if args.train:
         print(json.dumps(bench_train(
             num_envs=args.train_envs, iters=args.train_iters,
-            use_pallas=args.pallas,
+            use_pallas=args.pallas, sgd_unroll=args.sgd_unroll,
             model_dtype=jnp.float32 if args.model_f32 else None)))
     elif args.sweep:
         import sys
@@ -241,5 +251,6 @@ if __name__ == "__main__":
     else:
         result = bench(num_envs=args.num_envs, num_agents=args.num_agents,
                        block=args.block, blocks=args.blocks,
-                       use_pallas=args.pallas, obstacles=args.obstacles)
+                       use_pallas=args.pallas, obstacles=args.obstacles,
+                       mode=args.mode)
         print(json.dumps(result))

@@ -155,6 +155,9 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch_size", default=1024, type=int)
     p.add_argument("--num_epochs", default=1, type=int)
     p.add_argument("--reward_clip", default=10.0, type=float)
+    p.add_argument("--sgd_unroll", default=1, type=int,
+                   help="XLA unroll factor for the sequential minibatch-SGD "
+                        "scan (TPU knob, no reference analogue)")
     # APPO (SF --async_rl / --with_vtrace; parallel/appo.py)
     p.add_argument("--async_rl", default=False, type=str2bool,
                    help="policy-lag (two-program) APPO trainer")
@@ -373,6 +376,7 @@ def ppo_config_from_args(args) -> "PPOConfig":
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         reward_clip=args.reward_clip,
+        sgd_unroll=getattr(args, "sgd_unroll", 1),
         num_envs=args.num_envs,
         replay_sample_prob=args.replay_buffer_sample_prob,
         with_vtrace=getattr(args, "with_vtrace", False),
