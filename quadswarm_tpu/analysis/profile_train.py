@@ -44,7 +44,10 @@ def _timed(fn, n):
 
 def _delta(fn, iters):
     """Run 1 and 1+iters repetitions; the difference removes the fixed
-    host<->device round-trip (~90 ms over the tunnel)."""
+    host<->device round-trip (~90 ms over the tunnel).  The warmup call
+    absorbs jit compilation — without it t_short includes the compile and
+    the delta goes negative (clamped), reporting nonsense."""
+    _barrier(fn())
     t_short = _timed(fn, 1)
     t_long = _timed(fn, 1 + iters)
     return max(t_long - t_short, 1e-9) / iters

@@ -80,6 +80,50 @@ class ActorCritic(nn.Module):
                         name="value_head")(x)[..., 0]
 
 
+def apply_fused(model: ActorCritic, params, obs):
+    """Forward pass evaluating the actor and critic encoders as ONE batched
+    computation instead of two sequential ones.
+
+    The two encoders are structurally identical (same constructor args, only
+    the weights differ), so their param subtrees stack leaf-for-leaf; a vmap
+    over the stacked tree turns every pair of (b, k)x(k, n) matmuls into one
+    (2, b, k)x(2, k, n) batched matmul.  Same FLOPs, half the kernel count —
+    the PPO minibatch step is op-overhead-bound at baseline shapes (1024-row
+    minibatches, ~1-3 us per op on TPU), so halving the op count is a direct
+    win for the learner (docs/PERF.md).  Numerically identical to
+    `model.apply` up to matmul tiling order; falls back to `model.apply` for
+    unexpected param trees (e.g. shared-weight variants).
+    """
+    p = params["params"] if isinstance(params, dict) and "params" in params \
+        else params
+    try:
+        pa, pc = p["actor_encoder"], p["critic_encoder"]
+        ah, vh, log_std = p["action_head"], p["value_head"], p["log_std"]
+    except (KeyError, TypeError, IndexError):
+        return model.apply(params, obs)
+
+    enc = make_encoder(
+        model.encoder_type, self_obs_dim=model.self_obs_dim,
+        neighbor_obs_dim=model.neighbor_obs_dim,
+        num_neighbors=model.num_neighbors,
+        neighbor_encoder_type=model.neighbor_encoder_type,
+        neighbor_hidden=model.neighbor_hidden,
+        use_obstacles=model.use_obstacles,
+        obstacle_hidden=model.obstacle_hidden, rnn_size=model.rnn_size,
+        act=model.act, sim2real=model.sim2real, dtype=model.dtype)
+    stacked = jax.tree.map(lambda a, c: jnp.stack([a, c]), pa, pc)
+    feats = jax.vmap(lambda q: enc.apply({"params": q}, obs))(stacked)
+
+    dt = model.dtype
+
+    def dense(x, h):  # flax Dense with dtype=dt: promote inputs+params to dt
+        return jnp.dot(x.astype(dt), h["kernel"].astype(dt)) + h["bias"].astype(dt)
+
+    mean = dense(feats[0], ah)
+    value = dense(feats[1], vh)[..., 0]
+    return mean, jnp.broadcast_to(log_std, mean.shape), value
+
+
 def gaussian_log_prob(mean, log_std, actions):
     """Diagonal Gaussian log-density, summed over action dims."""
     var = jnp.exp(2 * log_std)

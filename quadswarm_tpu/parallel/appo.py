@@ -78,8 +78,9 @@ def appo_learn(model, ppo_cfg: PPOConfig, train_state, traj: Transition,
     t_dim, e_dim, n_dim = traj.reward.shape
 
     def learner_forward(obs):
-        mean, log_std, value = model.apply(
-            train_state.params, obs.reshape(-1, obs.shape[-1]))
+        from quadswarm_tpu.models.actor_critic import apply_fused
+        mean, log_std, value = apply_fused(
+            model, train_state.params, obs.reshape(-1, obs.shape[-1]))
         # bf16-safe: V-trace/GAE math in f32
         return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
                 value.astype(jnp.float32))

@@ -31,7 +31,8 @@ from quadswarm_tpu.env.multi import (
 )
 from quadswarm_tpu.env.reward import RewardCoeffs
 from quadswarm_tpu.models.actor_critic import (
-    ActorCritic, gaussian_entropy, gaussian_log_prob, sample_actions,
+    ActorCritic, apply_fused, gaussian_entropy, gaussian_log_prob,
+    sample_actions,
 )
 from quadswarm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 
@@ -104,7 +105,7 @@ def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     def policy(params, obs_flat):
         # The model may compute in bfloat16 (4x MXU throughput on TPU);
         # cast heads to f32 so action sampling, log-probs and GAE stay exact.
-        mean, log_std, value = model.apply(params, obs_flat)
+        mean, log_std, value = apply_fused(model, params, obs_flat)
         return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
                 value.astype(jnp.float32))
 
@@ -158,7 +159,7 @@ def compute_gae(traj: Transition, last_value, gamma, lam):
 
 def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
     obs, actions, old_log_prob, old_value, advantages, returns = batch
-    mean, log_std, value = model.apply(params, obs)
+    mean, log_std, value = apply_fused(model, params, obs)
     # bf16-safe: loss math in f32 regardless of the model compute dtype
     mean = mean.astype(jnp.float32)
     log_std = log_std.astype(jnp.float32)
