@@ -104,7 +104,11 @@ def main():
                 traj, last_value, ppo_cfg.gamma, ppo_cfg.gae_lambda)
             return sgd_epochs(model, ppo_cfg, train_state, traj,
                               advantages, returns, key)
-        return jax.jit(fn, donate_argnums=(1,))
+        # traj is NOT donated: every SGD minibatch reads it and no output
+        # aliases its shape, so donation is unusable (it only triggered XLA
+        # "donated buffers were not usable" warnings); the per-call copy is
+        # freed by refcount when the call returns.
+        return jax.jit(fn)
 
     key = jax.random.PRNGKey(1)
     # Pre-collect one trajectory for the sgd-only phase

@@ -101,6 +101,13 @@ def apply_fused(model: ActorCritic, params, obs):
         ah, vh, log_std = p["action_head"], p["value_head"], p["log_std"]
     except (KeyError, TypeError, IndexError):
         return model.apply(params, obs)
+    # The stacking trick needs structurally identical encoder subtrees (same
+    # layers, same shapes); asymmetric-variant checkpoints fall back cleanly
+    # instead of raising from jnp.stack.
+    if jax.tree.structure(pa) != jax.tree.structure(pc) or any(
+            jnp.shape(a) != jnp.shape(c)
+            for a, c in zip(jax.tree.leaves(pa), jax.tree.leaves(pc))):
+        return model.apply(params, obs)
 
     enc = make_encoder(
         model.encoder_type, self_obs_dim=model.self_obs_dim,

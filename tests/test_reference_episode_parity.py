@@ -17,10 +17,10 @@ collision-response velocities, so:
     its own response noise; response-law parity is covered by
     test_reference_kernels.py).
 
-Known deviation (documented in docs/PARITY.md): on a response tick the
-reference builds obs from PRE-response velocities (per-env step() runs
-before the swarm-level collision handling) while we build obs from
-POST-response state; obs are therefore only compared on no-event ticks.
+Both sides build obs from POST-response state (the reference re-collects
+`state_vector` after applying interaction forces — `self_state_update_flag`,
+quadrotor_multi.py:548-600); obs are still only compared on no-event ticks
+because the response velocity noise is per-sim RNG (docs/PARITY.md).
 """
 from __future__ import annotations
 
@@ -64,15 +64,26 @@ def ref_multi():
     return qm
 
 
-def make_ref_env(qm):
+REF_DEFAULTS = dict(num_agents=2, neighbor_visible_num=-1,
+                    use_obstacles=False, use_downwash=False,
+                    quads_mode="static_same_goal",
+                    obs_repr="xyz_vxyz_R_omega",
+                    obst_density=0.2, obst_size=1.0)
+
+
+def make_ref_env(qm, **over):
+    kw = dict(REF_DEFAULTS, **over)
     return qm.QuadrotorEnvMulti(
-        num_agents=2, ep_time=EP_TIME, rew_coeff=None,
-        obs_repr="xyz_vxyz_R_omega",
-        neighbor_visible_num=-1, neighbor_obs_type="pos_vel",
+        num_agents=kw["num_agents"], ep_time=EP_TIME, rew_coeff=None,
+        obs_repr=kw["obs_repr"],
+        neighbor_visible_num=kw["neighbor_visible_num"],
+        neighbor_obs_type="pos_vel",
         collision_hitbox_radius=2.0, collision_falloff_radius=4.0,
-        use_obstacles=False, obst_density=0.2, obst_size=1.0,
+        use_obstacles=kw["use_obstacles"], obst_density=kw["obst_density"],
+        obst_size=kw["obst_size"],
         obst_spawn_area=[6, 6],
-        use_downwash=False, use_numba=True, quads_mode="static_same_goal",
+        use_downwash=kw["use_downwash"], use_numba=True,
+        quads_mode=kw["quads_mode"],
         room_dims=(10, 10, 10), use_replay_buffer=False,
         quads_view_mode=["topdown"], quads_render=False,
         dynamics_params="Crazyflie", raw_control=True,
@@ -82,40 +93,80 @@ def make_ref_env(qm):
         dyn_sampler_1=None, sense_noise=None, init_random_state=False)
 
 
-def make_our_side():
-    cfg = EnvConfig(num_agents=2, ep_time=EP_TIME, obs_repr="xyz_vxyz_R_omega",
-                    neighbor_obs_type="pos_vel", neighbor_visible_num=-1,
+def make_our_side(**over):
+    kw = dict(REF_DEFAULTS, **over)
+    cfg = EnvConfig(num_agents=kw["num_agents"], ep_time=EP_TIME,
+                    obs_repr=kw["obs_repr"],
+                    neighbor_obs_type="pos_vel",
+                    neighbor_visible_num=kw["neighbor_visible_num"],
                     collision_hitbox_radius=2.0, collision_falloff_radius=4.0,
-                    room_dims=(10.0, 10.0, 10.0), quads_mode="static_same_goal",
+                    room_dims=(10.0, 10.0, 10.0), quads_mode=kw["quads_mode"],
                     control_mode="raw", zero_action_middle=True,
-                    use_sensor_noise=False, use_obstacles=False,
-                    use_downwash=False, dtype=jnp.float64)
+                    use_sensor_noise=False,
+                    use_obstacles=kw["use_obstacles"],
+                    obst_density=kw["obst_density"],
+                    obst_size=kw["obst_size"],
+                    use_downwash=kw["use_downwash"], dtype=jnp.float64)
     model = crazyflie_params()
     model["noise"]["thrust_noise_ratio"] = 0.0
     params = DynamicsParams.from_model(model, dt=cfg.dt)
     return cfg, params
 
 
-def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False):
+def _inject_ref_obstacles(env, state):
+    """Copy the reference env's sampled obstacle layout (obstacles.pos_arr —
+    free-cell grid placement, quadrotor_multi.py:304-325) into our
+    fixed-capacity masked obstacle state."""
+    ref_pos = np.asarray(env.obstacles.pos_arr, float)       # (M, 3)
+    ours = np.asarray(state.obst_pos, float)                 # (C, 3)
+    active = np.zeros(ours.shape[0], bool)
+    for p in ref_pos:
+        d = np.linalg.norm(ours[:, :2] - p[None, :2], axis=1)
+        idx = int(np.argmin(d))
+        assert d[idx] < 1e-9, "reference obstacle not on our cell grid"
+        active[idx] = True
+    assert active.sum() == len(ref_pos)
+    return state.replace(
+        obst_active=jnp.asarray(active),
+        obst_size=jnp.asarray(float(env.obst_size), jnp.float64))
+
+
+def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False,
+             stop_on_obst_collision=False, zero_uniform_noise=False,
+             **over):
     """Step both sims from injected initial states with a shared action tape.
-    Returns the per-tick comparison records."""
-    env = make_ref_env(qm)
+    Returns the per-tick comparison records.
+
+    poss/vels may be callables receiving the (already reset) reference env —
+    used by the obstacle test to place drones relative to the sampled
+    obstacle layout.  zero_uniform_noise replaces np.random.uniform /
+    jax.random.uniform with their midpoint DURING STEPPING on both sides
+    (all per-tick uniform draws in this config are symmetric around their
+    midpoint — downwash noise — so this zeroes them identically)."""
+    env = make_ref_env(qm, **over)
     env.reset()
+    if callable(poss):
+        poss = poss(env)
+    if callable(vels):
+        vels = vels(env)
+    n = len(poss)
     for i, e in enumerate(env.envs):
         e.dynamics.set_state(np.asarray(poss[i], float),
                              np.asarray(vels[i], float), np.eye(3),
                              np.zeros(3))
         e.dynamics.reset()
 
-    cfg, params = make_our_side()
+    cfg, params = make_our_side(**over)
     state, _ = env_reset(cfg, params, jax.random.PRNGKey(0),
                          rew_coeff=RewardCoeffs(**REW_COEFF))
+    if over.get("use_obstacles"):
+        state = _inject_ref_obstacles(env, state)
     goals = np.asarray([e.goal for e in env.envs], float)
     dyn = state.dyn.replace(
         pos=jnp.asarray(poss, jnp.float64),
         vel=jnp.asarray(vels, jnp.float64),
-        rot=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (2, 3, 3)),
-        omega=jnp.zeros((2, 3), jnp.float64),
+        rot=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (n, 3, 3)),
+        omega=jnp.zeros((n, 3), jnp.float64),
         thrust_cmds_damp=jnp.asarray([e.dynamics.thrust_cmds_damp
                                       for e in env.envs], jnp.float64),
         thrust_rot_damp=jnp.asarray([e.dynamics.thrust_rot_damp
@@ -124,7 +175,7 @@ def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False):
         accelerometer=jnp.asarray([e.dynamics.accelerometer
                                    for e in env.envs], jnp.float64),
         on_floor=jnp.asarray([e.dynamics.on_floor for e in env.envs]),
-        ou_state=jnp.zeros((2, 4), jnp.float64),
+        ou_state=jnp.zeros((n, 4), jnp.float64),
     )
     state = state.replace(
         dyn=dyn, scenario=state.scenario.replace(
@@ -132,27 +183,56 @@ def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False):
 
     step = jax.jit(partial(env_step, cfg, params, auto_reset=False))
     key = jax.random.PRNGKey(42)
-    records = []
-    for t in range(n_ticks):
-        acts = action_fn(t)
-        ref_obs, ref_rew, ref_done, ref_info = env.step(
-            [np.asarray(a, float) for a in acts])
-        state, obs, rew, dones, info = step(
-            state, jnp.asarray(acts, jnp.float64), jax.random.fold_in(key, t))
-        rec = dict(
-            t=t,
-            ref_pos=np.asarray([e.dynamics.pos for e in env.envs]),
-            our_pos=np.asarray(state.dyn.pos),
-            ref_vel=np.asarray([e.dynamics.vel for e in env.envs]),
-            our_vel=np.asarray(state.dyn.vel),
-            ref_obs=np.asarray(ref_obs), our_obs=np.asarray(obs),
-            ref_rew=np.asarray(ref_rew), our_rew=np.asarray(rew),
-            ref_colls=env.collisions_per_episode,
-            our_colls=int(np.asarray(info["num_collisions"]).reshape(-1)[0]),
-        )
-        records.append(rec)
-        if stop_on_collision and env.collisions_per_episode > 0:
-            break
+
+    np_uniform = np.random.uniform
+    jax_uniform = jax.random.uniform
+
+    def mid_np_uniform(low=0.0, high=1.0, size=None):
+        mid = (np.asarray(low) + np.asarray(high)) / 2.0
+        return mid if size is None else np.full(size, mid)
+
+    def mid_jax_uniform(k, shape=(), dtype=float, minval=0.0, maxval=1.0):
+        mid = (jnp.asarray(minval, dtype) + jnp.asarray(maxval, dtype)) / 2.0
+        return jnp.full(shape, mid, dtype)
+
+    if zero_uniform_noise:
+        np.random.uniform = mid_np_uniform
+        jax.random.uniform = mid_jax_uniform
+    try:
+        records = []
+        for t in range(n_ticks):
+            acts = action_fn(t)
+            ref_obs, ref_rew, ref_done, ref_info = env.step(
+                [np.asarray(a, float) for a in acts])
+            state, obs, rew, dones, info = step(
+                state, jnp.asarray(acts, jnp.float64),
+                jax.random.fold_in(key, t))
+            rec = dict(
+                t=t,
+                ref_pos=np.asarray([e.dynamics.pos for e in env.envs]),
+                our_pos=np.asarray(state.dyn.pos),
+                ref_vel=np.asarray([e.dynamics.vel for e in env.envs]),
+                our_vel=np.asarray(state.dyn.vel),
+                ref_omega=np.asarray([e.dynamics.omega for e in env.envs]),
+                our_omega=np.asarray(state.dyn.omega),
+                ref_obs=np.asarray(ref_obs), our_obs=np.asarray(obs),
+                ref_rew=np.asarray(ref_rew), our_rew=np.asarray(rew),
+                ref_colls=env.collisions_per_episode,
+                our_colls=int(np.asarray(info["num_collisions"]).reshape(-1)[0]),
+                ref_obst_colls=(env.obst_quad_collisions_per_episode
+                                if over.get("use_obstacles") else 0),
+                our_obst_colls=int(np.asarray(
+                    info["num_collisions_obst_quad"]).reshape(-1)[0]),
+            )
+            records.append(rec)
+            if stop_on_collision and env.collisions_per_episode > 0:
+                break
+            if (stop_on_obst_collision
+                    and env.obst_quad_collisions_per_episode > 0):
+                break
+    finally:
+        np.random.uniform = np_uniform
+        jax.random.uniform = jax_uniform
     return records
 
 
