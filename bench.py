@@ -255,6 +255,11 @@ if __name__ == "__main__":
                         "in --train")
     p.add_argument("--model_f32", action="store_true",
                    help="force float32 model compute in --train")
+    p.add_argument("--scaling", action="store_true",
+                   help="measure multi-device scaling of the flagship train "
+                        "step over a 1/2/4/8-device mesh (delegates to "
+                        "quadswarm_tpu.analysis.scaling; virtual CPU devices "
+                        "by default, --platform tpu on a real slice)")
     p.add_argument("--obstacles", action="store_true",
                    help="bench the obstacle family (octomap SDF obs, "
                         "obstacle collisions) instead of free space")
@@ -262,6 +267,13 @@ if __name__ == "__main__":
                    help="override the scenario mode (e.g. static_same_goal "
                         "for the no-curriculum ablation; default: mix)")
     args = p.parse_args()
+    if args.scaling:
+        # Orchestrates subprocesses; must not initialize a backend here.
+        import subprocess
+        import sys
+
+        sys.exit(subprocess.run(
+            [sys.executable, "-m", "quadswarm_tpu.analysis.scaling"]).returncode)
     import os as _os
     _backend_watchdog(float(_os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
     if args.train:

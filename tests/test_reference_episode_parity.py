@@ -290,3 +290,116 @@ def test_collision_episode_matches_reference(ref_multi):
     last = recs[-1]
     np.testing.assert_allclose(last["our_pos"], last["ref_pos"], atol=1e-8)
     np.testing.assert_allclose(last["our_rew"], last["ref_rew"], atol=1e-8)
+
+
+def test_obstacle_episode_matches_reference(ref_multi):
+    """Obstacle family through the whole-env lockstep harness: SDF obs
+    (obstacles/utils.py:4-27) compared every tick, free-cell obstacle layout
+    injected from the reference's sampled grid, and an obstacle-collision
+    tick where both sides flag the same hit with the same -quadcol_bin_obst
+    reward (quadrotor_multi.py:441-478,566-578)."""
+    np.random.seed(7)  # reproducible reference obstacle layout
+    approach = 1.2
+
+    def poss(env):
+        opos = np.asarray(env.obstacles.pos_arr, float)
+        # pick an obstacle whose western approach lane is clear of the others
+        for cand in opos:
+            start = cand.copy()
+            start[0] -= approach
+            start[2] = 2.0
+            d = np.linalg.norm(opos[:, :2] - start[None, :2], axis=1)
+            d[np.argmin(np.linalg.norm(opos[:, :2] - cand[None, :2],
+                                       axis=1))] = np.inf
+            if d.min() > 0.8:
+                far = np.array([-4.5, -4.5, 2.0])
+                return np.stack([start, far])
+        pytest.skip("no obstacle with a clear approach lane in this layout")
+
+    rng = np.random.default_rng(3)
+    tape = rng.uniform(-0.05, 0.25, size=(150, 2, 4))
+    recs = lockstep(ref_multi, poss, vels=[[1.5, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                    n_ticks=150, action_fn=lambda t: tape[t],
+                    stop_on_obst_collision=True,
+                    use_obstacles=True, quads_mode="o_static_same_goal")
+    assert recs[-1]["ref_obst_colls"] == 1, "episode must hit an obstacle"
+    assert recs[-1]["our_obst_colls"] == 1, "our env must flag the same hit"
+    assert recs[-1]["t"] > 10, "approach must take >10 ticks to be meaningful"
+    for r in recs[:-1]:
+        t = r["t"]
+        np.testing.assert_allclose(r["our_pos"], r["ref_pos"], atol=1e-8,
+                                   err_msg=f"pos tick {t}")
+        np.testing.assert_allclose(r["our_vel"], r["ref_vel"], atol=1e-8,
+                                   err_msg=f"vel tick {t}")
+        # obs include the 9-point SDF patch — compared every no-event tick
+        np.testing.assert_allclose(r["our_obs"], r["ref_obs"], atol=1e-7,
+                                   err_msg=f"obs tick {t}")
+        np.testing.assert_allclose(r["our_rew"], r["ref_rew"], atol=1e-8,
+                                   err_msg=f"rew tick {t}")
+    # at the hit tick: positions (pre-response) and the obstacle-collision
+    # reward (-quadcol_bin_obst on the hit drone) match; post-response state
+    # diverges by design (per-sim response noise)
+    last = recs[-1]
+    np.testing.assert_allclose(last["our_pos"], last["ref_pos"], atol=1e-8)
+    np.testing.assert_allclose(last["our_rew"], last["ref_rew"], atol=1e-8)
+
+
+def test_downwash_episode_matches_reference(ref_multi):
+    """Two stacked drones with downwash on, uniform noise zeroed identically
+    on both sides (all downwash noise terms are symmetric uniforms —
+    aerodynamics/downwash.py:30-36,54-66): the cylinder force law must then
+    match tick-for-tick, including the victim's altitude loss."""
+    n_ticks = 40
+    tape = np.broadcast_to(
+        np.asarray([0.12, 0.12, 0.12, 0.12]), (2, 4)).copy()
+    recs = lockstep(ref_multi,
+                    poss=[[0.0, 0.0, 3.0], [0.02, 0.0, 2.6]],
+                    vels=[[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                    n_ticks=n_ticks, action_fn=lambda t: tape,
+                    zero_uniform_noise=True, use_downwash=True)
+    assert len(recs) == n_ticks
+    for r in recs:
+        t = r["t"]
+        np.testing.assert_allclose(r["our_pos"], r["ref_pos"], atol=1e-8,
+                                   err_msg=f"pos tick {t}")
+        np.testing.assert_allclose(r["our_vel"], r["ref_vel"], atol=1e-8,
+                                   err_msg=f"vel tick {t}")
+        np.testing.assert_allclose(r["our_omega"], r["ref_omega"], atol=1e-8,
+                                   err_msg=f"omega tick {t}")
+        np.testing.assert_allclose(r["our_obs"], r["ref_obs"], atol=1e-7,
+                                   err_msg=f"obs tick {t}")
+        assert r["our_colls"] == r["ref_colls"] == 0
+    # the downwash must actually have acted: identical thrusts, so any extra
+    # altitude loss of the lower drone beyond the initial 0.4 m separation
+    # is the cylinder force
+    sep0 = recs[0]["ref_pos"][0, 2] - recs[0]["ref_pos"][1, 2]
+    sep_end = recs[-1]["ref_pos"][0, 2] - recs[-1]["ref_pos"][1, 2]
+    assert sep_end > sep0 + 1e-3, \
+        "downwash never separated the stacked drones — force path inert?"
+
+
+def test_n8_knearest_neighbor_obs_matches_reference(ref_multi):
+    """8-drone free flight with neighbor_visible_num=6: the k-nearest
+    neighbor selection AND ordering in the obs must match the reference's
+    add_neighborhood_obs (quadrotor_multi.py:247-279) tick-for-tick."""
+    n = 8
+    rng = np.random.default_rng(11)
+    tape = rng.uniform(-0.1, 0.3, size=(60, n, 4))
+    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    poss = np.stack([2.5 * np.cos(ang), 2.5 * np.sin(ang),
+                     3.0 + 0.25 * np.arange(n)], axis=1)
+    vels = rng.uniform(-0.2, 0.2, size=(n, 3))
+    recs = lockstep(ref_multi, poss, vels, n_ticks=60,
+                    action_fn=lambda t: tape[t],
+                    num_agents=n, neighbor_visible_num=6)
+    for r in recs:
+        t = r["t"]
+        np.testing.assert_allclose(r["our_pos"], r["ref_pos"], atol=1e-8,
+                                   err_msg=f"pos tick {t}")
+        # obs carry the 6 nearest neighbors sorted by distance: any
+        # selection or ordering mismatch shows up as a large obs diff
+        np.testing.assert_allclose(r["our_obs"], r["ref_obs"], atol=1e-7,
+                                   err_msg=f"neighbor obs tick {t}")
+        np.testing.assert_allclose(r["our_rew"], r["ref_rew"], atol=1e-8,
+                                   err_msg=f"rew tick {t}")
+        assert r["our_colls"] == r["ref_colls"] == 0
