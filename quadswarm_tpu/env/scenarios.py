@@ -848,12 +848,21 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
       3. those envs are gathered into `capacity` fixed slots (lax.top_k),
          stepped with phase="slow", and scattered back.
 
-    Results are bit-identical to vmapped scenario_step ALWAYS: whenever the
-    event count exceeds the capacity (default max(32, E/64)) — which happens
-    deterministically when envs are tick-synchronized (all envs reset
-    together, so e.g. every ep_rand_bezier env in a mix fires its 5 s node
-    resample on the same tick) — a lax.cond falls back to the uncompacted
-    all-envs slow path for that tick instead of dropping events.
+    Results are bit-identical to vmapped scenario_step ALWAYS, via a
+    four-tier lax.cond dispatch on the actual event count this tick:
+
+      0 events          -> identity (no slow work at all — the common tick;
+                           round 2 unconditionally paid a cap-slot slow
+                           phase every tick, ~24% of headline throughput)
+      <= cap            -> small-cap compaction (Poisson event traffic:
+                           per-env U(4,6) s intervals de-synchronize)
+      <= cap_big (E/8)  -> big-cap compaction: tick-SYNCHRONIZED bursts.
+                           Envs reset together, so modes with a constant
+                           interval (run_away's fixed 1 s, run_away.py:17;
+                           every bezier env's tick-1 resample) fire
+                           ~E/num_modes envs on the SAME tick.
+      > cap_big         -> uncompacted all-envs slow path (coinciding
+                           multi-mode bursts; never drops events).
     """
     e = ticks.shape[0]
     has_obst = obst_active is not None
@@ -892,44 +901,59 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
     slot = jnp.cumsum(event.astype(jnp.int32)) - 1
     n_events = slot[-1] + 1
 
-    def compacted(fast):
-        dest = jnp.where(event & (slot < cap), slot, cap)  # overflow -> dump
-        idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
-            jnp.arange(e, dtype=jnp.int32), mode="drop")[:cap]
-        valid = jnp.arange(cap) < jnp.minimum(n_events, cap)
-        take = lambda x: x[idx]
-        sub = jax.tree.map(take, fast)
-        slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
-                                  obst_active[idx], obst_centers[idx])
-        bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
-        merged = jax.tree.map(
-            lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
-        # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a scatter
-        # with cap batch-varying indices, which XLA serializes into cap
-        # sequential row writes PER LEAF on TPU (~20 leaves — measured ~14% of
-        # the whole env step).  Each written row has exactly one hot slot and
-        # `merged` is always finite (invalid slots carry the gathered fast
-        # values), so the einsum reproduces the scatter bit-for-bit.
-        hot = (idx[:, None] == jnp.arange(e)[None, :]) & valid[:, None]
-        row_written = jnp.any(hot, axis=0)
+    def compacted_at(cap_i):
+        def compacted(fast):
+            dest = jnp.where(event & (slot < cap_i), slot, cap_i)
+            idx = jnp.zeros((cap_i + 1,), jnp.int32).at[dest].set(
+                jnp.arange(e, dtype=jnp.int32), mode="drop")[:cap_i]
+            valid = jnp.arange(cap_i) < jnp.minimum(n_events, cap_i)
+            take = lambda x: x[idx]
+            sub = jax.tree.map(take, fast)
+            slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
+                                      obst_active[idx], obst_centers[idx])
+            bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
+            merged = jax.tree.map(
+                lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
+            # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a
+            # scatter with cap batch-varying indices, which XLA serializes
+            # into cap sequential row writes PER LEAF on TPU (~20 leaves —
+            # measured ~14% of the whole env step).  Each written row has
+            # exactly one hot slot and `merged` is always finite (invalid
+            # slots carry the gathered fast values), so the einsum (an MXU
+            # matmul) reproduces the scatter bit-for-bit.
+            hot = (idx[:, None] == jnp.arange(e)[None, :]) & valid[:, None]
+            row_written = jnp.any(hot, axis=0)
 
-        def merge(full, m):
-            if m.dtype == jnp.bool_:
-                scat = jnp.einsum('ce,c...->e...', hot.astype(jnp.float32),
-                                  m.astype(jnp.float32)) > 0.5
-            else:
-                scat = jnp.einsum('ce,c...->e...', hot.astype(m.dtype), m)
-            return jnp.where(
-                row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
+            def merge(full, m):
+                if m.dtype == jnp.bool_:
+                    scat = jnp.einsum('ce,c...->e...', hot.astype(jnp.float32),
+                                      m.astype(jnp.float32)) > 0.5
+                else:
+                    scat = jnp.einsum('ce,c...->e...', hot.astype(m.dtype), m)
+                return jnp.where(
+                    row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
 
-        return jax.tree.map(merge, fast, merged)
+            return jax.tree.map(merge, fast, merged)
+        return compacted
 
     def uncompacted(fast):
-        # Overflow (> cap events this tick — the tick-synchronized case):
+        # > cap_big events this tick (coinciding synchronized bursts):
         # run the slow phase on every env so no event is ever dropped.
         slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
         bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
         return jax.tree.map(
             lambda a, b: jnp.where(bmask(event, a), a, b), slow, fast)
 
-    return jax.lax.cond(n_events > cap, uncompacted, compacted, fast)
+    cap_big = min(e, max(8 * cap, e // 8))
+    if cap_big > cap:
+        def overflow(fast):
+            return jax.lax.cond(n_events > cap_big, uncompacted,
+                                compacted_at(cap_big), fast)
+    else:
+        overflow = uncompacted
+
+    def any_events(fast):
+        return jax.lax.cond(n_events > cap, overflow, compacted_at(cap), fast)
+
+    # Event-free ticks (the overwhelming majority) do ZERO slow work.
+    return jax.lax.cond(n_events > 0, any_events, lambda f: f, fast)

@@ -218,8 +218,21 @@ def parse_swarm_cfg(argv=None, evaluation: bool = False) -> argparse.Namespace:
                             "so each round yields eval_envs full episodes); "
                             "1 = the un-vmapped render-friendly path")
         p.add_argument("--render_mode", default="plot",
-                       choices=["plot", "dump", "none", "human", "rgb_array"])
+                       choices=["plot", "dump", "none", "human", "rgb_array",
+                                "live"],
+                       help="live = per-tick streaming while the episode "
+                            "steps (interactive matplotlib window when "
+                            "DISPLAY exists, else a growing PNG/mp4 stream "
+                            "in render_out) — the realtime counterpart of "
+                            "the reference's pyglet viewer")
         p.add_argument("--render_out", default="render_out", type=str)
+        p.add_argument("--render_every_nth", default=5, type=int,
+                       help="render every Nth control tick in live mode")
+        p.add_argument("--realtime", default=False, type=str2bool,
+                       nargs="?", const=True,
+                       help="pace live rendering to wall-clock sim time "
+                            "(the reference's render_speed pacing, "
+                            "quadrotor_multi.py:726-812)")
     args = p.parse_args(argv)
     return _resolve_compat_flags(args)
 

@@ -67,6 +67,24 @@ def run_eval(args) -> dict:
         key, rk = jax.random.split(key)
         state, obs = env_reset(env_cfg, dyn, rk)
         rec = TrajectoryRecorder()
+        live = None
+        if args.render_mode == "live":
+            # Streaming per-tick rendering while the episode runs — the
+            # counterpart of the reference's interactive pyglet viewer
+            # (quadrotor_multi_visualization.py:114-610).
+            from quadswarm_tpu.utils.render import LiveRenderer
+            obstacles = None
+            if env_cfg.use_obstacles:
+                active = np.asarray(state.obst_active)
+                obstacles = np.asarray(state.obst_pos)[active][:, :2]
+            live = LiveRenderer(
+                room_dims=env_cfg.room_dims,
+                views=tuple(args.quads_view_mode),
+                out_dir=os.path.join(args.render_out, f"ep{ep:03d}", "live"),
+                every_nth=getattr(args, "render_every_nth", 5),
+                realtime=getattr(args, "realtime", False),
+                control_dt=env_cfg.control_dt,
+                obstacles=obstacles, obst_size=float(state.obst_size))
         ep_reward = np.zeros(env_cfg.num_agents)
         done = False
         while not done:
@@ -74,6 +92,9 @@ def run_eval(args) -> dict:
             actions = policy(params, obs)
             state, obs, rew, dones, info = step(state, actions, sk)
             rec.record(state, rew, obs=obs[0] if viz_v else None)
+            if live is not None:
+                live.update(int(state.tick), state.dyn.pos,
+                            state.scenario.goals, state.prev_coll_ids)
             ep_reward += np.asarray(rew)
             done = bool(dones[0])
             if done:

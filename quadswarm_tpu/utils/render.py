@@ -175,6 +175,131 @@ def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
     return paths
 
 
+class LiveRenderer:
+    """Per-tick streaming renderer: the realtime counterpart of the
+    reference's pyglet viewer (quadrotor_multi_visualization.py:114-610 +
+    the render pacing at quadrotor_multi.py:726-812).
+
+    When an interactive matplotlib backend can open a window ($DISPLAY set),
+    frames are shown live as the episode steps, with chase/topdown/global
+    cameras and collision flashes.  Headless (the normal case on a TPU
+    host), frames stream to `out_dir/live/frame_XXXXX.png` AS THEY ARE
+    PRODUCED (plus `latest.png`, atomically swapped, so a file watcher or
+    `watch -n1` sees the run progressing), and `close()` assembles the mp4.
+    `realtime=True` paces updates to wall-clock sim time like the
+    reference's render_speed=1.0.
+    """
+
+    def __init__(self, room_dims=(10.0, 10.0, 10.0),
+                 views=("topdown", "chase", "global"), out_dir=None,
+                 every_nth: int = 5, realtime: bool = False,
+                 control_dt: float = 0.01, obstacles=None, obst_size=1.0,
+                 viz_traces: int = 25):
+        import matplotlib
+
+        self.room_dims = room_dims
+        self.views = views
+        self.every_nth = max(1, every_nth)
+        self.realtime = realtime
+        self.control_dt = control_dt
+        self.obstacles = obstacles
+        self.obst_size = obst_size
+        self.viz_traces = viz_traces
+        self._trace: list = []
+        self._frames: list = []
+        self._last_wall = None
+        self.out_dir = out_dir
+        self.interactive = bool(os.environ.get("DISPLAY"))
+        if self.interactive:
+            try:
+                matplotlib.use("TkAgg")
+                import matplotlib.pyplot as plt
+                plt.ion()
+                self._plt = plt
+                self._im = None
+            except Exception:
+                self.interactive = False
+        if not self.interactive:
+            matplotlib.use("Agg")
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def update(self, tick: int, pos, goals, collisions) -> None:
+        """Called every control tick; renders on the every_nth grid."""
+        import time
+
+        pos = np.asarray(pos)
+        self._trace.append(pos)
+        if len(self._trace) > self.viz_traces:
+            self._trace.pop(0)
+        if tick % self.every_nth:
+            return
+        if self.realtime and self._last_wall is not None:
+            lag = (self.control_dt * self.every_nth
+                   - (time.perf_counter() - self._last_wall))
+            if lag > 0:
+                time.sleep(lag)
+        self._last_wall = time.perf_counter()
+        frame = render_frame(pos, np.asarray(goals), np.asarray(collisions),
+                             self.room_dims, self.views,
+                             trace=np.asarray(self._trace),
+                             obstacles=self.obstacles,
+                             obst_size=self.obst_size)
+        self._frames.append(frame)
+        if self.interactive:
+            plt = self._plt
+            if self._im is None:
+                fig = plt.figure("quadswarm live",
+                                 figsize=(frame.shape[1] / 100,
+                                          frame.shape[0] / 100), dpi=100)
+                ax = fig.add_axes([0, 0, 1, 1])
+                ax.axis("off")
+                self._im = ax.imshow(frame)
+                self._fig = fig
+            else:
+                self._im.set_data(frame)
+            self._fig.canvas.draw_idle()
+            plt.pause(0.001)
+        if self.out_dir is not None:
+            import matplotlib.pyplot as plt
+            path = os.path.join(self.out_dir, f"frame_{tick:05d}.png")
+            plt.imsave(path, frame)
+            tmp = os.path.join(self.out_dir, ".latest.tmp.png")
+            plt.imsave(tmp, frame)
+            os.replace(tmp, os.path.join(self.out_dir, "latest.png"))
+
+    def close(self) -> None:
+        """Finalize: assemble the streamed frames into an mp4 (best effort)."""
+        if self.interactive:
+            try:
+                self._plt.ioff()
+            except Exception:
+                pass
+        if self.out_dir is None or len(self._frames) < 2:
+            return
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.animation as anim
+            import matplotlib.pyplot as plt
+            f0 = self._frames[0]
+            fig = plt.figure(figsize=(f0.shape[1] / 100, f0.shape[0] / 100),
+                             dpi=100)
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.axis("off")
+            im = ax.imshow(f0)
+            writer = anim.FFMpegWriter(fps=max(1, round(
+                1.0 / (self.control_dt * self.every_nth))))
+            with writer.saving(fig, os.path.join(self.out_dir, "live.mp4"),
+                               dpi=100):
+                for f in self._frames:
+                    im.set_data(f)
+                    writer.grab_frame()
+            plt.close(fig)
+        except Exception:
+            pass  # no ffmpeg — the PNG stream remains
+
+
 def v_value_map(model, params, obs_template: np.ndarray, drone_xy: np.ndarray,
                 extent: float = 2.0, resolution: int = 30) -> np.ndarray:
     """Critic-value heatmap around a drone (swarm_rl/env_wrappers/

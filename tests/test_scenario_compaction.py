@@ -24,16 +24,28 @@ def _make_batch(cfg, e, key):
     return states
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_pair(scfg, allowed, capacity):
+    """Jit once per (config, modes, capacity): the eager path re-traces every
+    lax.cond branch on every call, which makes the tick loops minutes-slow."""
+    full_fn = jax.jit(jax.vmap(
+        lambda st, t, k, oa, oc: scenario_step(scfg, st, t, k, oa, oc,
+                                               allowed_modes=allowed)))
+    compact_fn = jax.jit(lambda sts, t, k, oa, oc: batched_scenario_step(
+        scfg, sts, t, k, oa, oc, allowed, capacity=capacity))
+    return full_fn, compact_fn
+
+
 def _compare(cfg, states, ticks, keys, allowed, capacity):
     scfg = cfg.scenario_config()
     centers = states.obst_pos[:, :, :2]
-    full = jax.vmap(
-        lambda st, t, k, oa, oc: scenario_step(scfg, st, t, k, oa, oc,
-                                               allowed_modes=allowed)
-    )(states.scenario, ticks, keys, states.obst_active, centers)
-    compact = batched_scenario_step(scfg, states.scenario, ticks, keys,
-                                    states.obst_active, centers, allowed,
-                                    capacity=capacity)
+    full_fn, compact_fn = _jitted_pair(scfg, tuple(allowed), capacity)
+    full = full_fn(states.scenario, ticks, keys, states.obst_active, centers)
+    compact = compact_fn(states.scenario, ticks, keys,
+                         states.obst_active, centers)
     for name in full.__dataclass_fields__:
         a, b = getattr(full, name), getattr(compact, name)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
@@ -86,6 +98,37 @@ def test_compaction_overflow_falls_back_exact():
     states = states.replace(scenario=states.scenario.replace(mode=modes))
     ticks = jnp.full((e,), 500, jnp.int32)
     keys = jax.random.split(jax.random.PRNGKey(11), e)
+    _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=4)
+
+
+def test_compaction_mid_tier_burst_exact():
+    """Event count between cap and cap_big (a tick-synchronized burst like
+    run_away's fixed 1 s interval) must take the BIG-CAP compaction tier —
+    and still be bit-identical to the full vmapped step."""
+    cfg = EnvConfig(num_agents=4, quads_mode="mix")
+    e = 64
+    states = _make_batch(cfg, e, jax.random.PRNGKey(9))
+    # 16 run_away envs all at their fixed-interval tick -> 16 events;
+    # capacity=4 < 16 <= cap_big=min(64, max(32, 8))=32 -> middle tier.
+    modes = jnp.where(jnp.arange(e) < 16, MODE_IDS["run_away"],
+                      MODE_IDS["static_same_goal"]).astype(jnp.int32)
+    states = states.replace(scenario=states.scenario.replace(
+        mode=modes, interval=jnp.full((e,), 100, jnp.int32)))
+    ticks = jnp.full((e,), 300, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(13), e)
+    _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=4)
+
+
+def test_compaction_zero_event_tick_identity():
+    """A tick with no events anywhere must return the fast phase unchanged
+    (the identity tier — no slow work)."""
+    cfg = EnvConfig(num_agents=4, quads_mode="mix")
+    e = 16
+    states = _make_batch(cfg, e, jax.random.PRNGKey(21))
+    modes = jnp.full((e,), MODE_IDS["static_same_goal"], jnp.int32)
+    states = states.replace(scenario=states.scenario.replace(mode=modes))
+    ticks = jnp.full((e,), 37, jnp.int32)  # not an interval tick for anyone
+    keys = jax.random.split(jax.random.PRNGKey(23), e)
     _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=4)
 
 
