@@ -9,6 +9,8 @@ via a vectorized search, no Python loops over data).
 """
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 
@@ -148,6 +150,64 @@ def generate_goals(num_agents: int, fid, formation_center, formation_size,
         [circle_goals, circle_goals, circle_goals, sphere_goals,
          grid_goals, grid_goals, grid_goals, cube_goals],
     )
+
+
+@_functools.lru_cache(maxsize=None)
+def goal_affine_tables(num_agents: int, dtype_name: str):
+    """Per-formation affine pattern tables: for every formation family,
+    generate_goals is JOINTLY AFFINE in (formation_size, layer_dist) with a
+    zero constant term —
+        goals(fid, center, size, ld) == center + size * A[fid] + ld * B[fid]
+    (circle/sphere scale positions by size and stack layers by ld; grid/cube
+    mean-centering is linear, and cube's center[2] seed cancels in it) — and
+    num_agents_per_layer is itself a function of fid (50 for grids, 8
+    otherwise; scenarios/utils.py:54-66), so A/B are constants given
+    (num_agents, fid).
+
+    Computed once per (n, dtype) by evaluating the reference-faithful
+    generator at (size=1, ld=0) and (size=0, ld=1) with concrete fids (the
+    lax.switch shortcuts to one branch), then reused as embedded constants:
+    the hot scenario path replaces the vmapped 8-branch formation switch
+    (trig + divisor searches, evaluated for EVERY branch under vmap) with a
+    one-hot select over (8, N, 3) tables + one FMA.
+    """
+    import numpy as np
+
+    dtype = jnp.dtype(dtype_name)
+    a_rows, b_rows = [], []
+    # ensure_compile_time_eval: this is often first called INSIDE a jit
+    # trace — without it the generator's outputs would be tracers, which the
+    # lru_cache would leak into later traces.
+    with jax.ensure_compile_time_eval():
+        zero3 = jnp.zeros((3,), dtype)
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+        for fid in range(NUM_FORMATIONS):
+            npl = jnp.asarray(50 if 4 <= fid <= 6 else 8, jnp.int32)
+            a_rows.append(np.asarray(generate_goals(
+                num_agents, fid, zero3, one, zero, npl, dtype)))
+            b_rows.append(np.asarray(generate_goals(
+                num_agents, fid, zero3, zero, one, npl, dtype)))
+    return np.stack(a_rows), np.stack(b_rows)
+
+
+def generate_goals_affine(num_agents: int, fid, formation_center,
+                          formation_size, layer_dist, dtype) -> jax.Array:
+    """Drop-in replacement for generate_goals on the hot path (same result
+    up to float addition order; num_agents_per_layer implied by fid).
+
+    Batch-polymorphic: fid/center/size/layer_dist may carry a shared leading
+    batch dim — returns (..., N, 3).  One-hot row selection keeps the result
+    exact (a single nonzero term per contraction)."""
+    a_tab, b_tab = goal_affine_tables(num_agents, jnp.dtype(dtype).name)
+    fid = jnp.asarray(fid)
+    sel = (fid[..., None] == jnp.arange(NUM_FORMATIONS)).astype(dtype)
+    a = jnp.tensordot(sel, jnp.asarray(a_tab, dtype), axes=1)  # (..., N, 3)
+    b = jnp.tensordot(sel, jnp.asarray(b_tab, dtype), axes=1)
+    center = jnp.asarray(formation_center, dtype)[..., None, :]
+    size = jnp.asarray(formation_size, dtype)[..., None, None]
+    ld = jnp.asarray(layer_dist, dtype)[..., None, None]
+    return center + size * a + ld * b
 
 
 def formation_size_range(mode_is_svs, fid, num_agents: int, low, high,

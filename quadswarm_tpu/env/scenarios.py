@@ -27,7 +27,8 @@ import numpy as np
 from flax import struct
 
 from quadswarm_tpu.env.formations import (
-    formation_size_range, generate_goals, get_z_value, is_circle, is_grid,
+    formation_size_range, generate_goals, generate_goals_affine, get_z_value,
+    is_circle, is_grid,
 )
 
 MODES = (
@@ -370,8 +371,8 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
         d_ax = diff[axis]
         adj = jnp.sign(d_ax) * lo + c1[axis]
         c2 = jnp.where(planar & (jnp.abs(d_ax) < lo), c2.at[axis].set(adj), c2)
-        g1 = generate_goals(n // 2, fid, c1, size, layer_dist, npl, dtype)
-        g2 = generate_goals(n - n // 2, fid, c2, size, layer_dist, npl, dtype)
+        g1 = generate_goals_affine(n // 2, fid, c1, size, layer_dist, dtype)
+        g2 = generate_goals_affine(n - n // 2, fid, c2, size, layer_dist, dtype)
         goals = jnp.concatenate([g1, g2], axis=0)
         return st.replace(goals=goals, spawn_points=goals,
                           goal_center_1=c1, goal_center_2=c2,
@@ -503,29 +504,38 @@ CONTINUOUS_MODES = frozenset((
 ))
 _INTERVAL_MODES = frozenset((2, 3, 4, 8, 9, 12, 13, 18))
 
-
 def scenario_event(cfg: ScenarioConfig, st: ScenarioState,
-                   tick: jax.Array) -> jax.Array:
+                   tick: jax.Array,
+                   modes: frozenset | None = None) -> jax.Array:
     """True iff this tick's scenario_step does anything beyond the
     continuous fast path (superset of every slow branch's internal trigger).
 
     Vectorizes over leading batch dims (mode/interval/tick arrays).
+    `modes` restricts the predicate to a subset of mode ids (used by
+    batched_scenario_step to compact only the non-fused heavy modes).
     """
     mode = st.mode
     at_interval = (tick % jnp.maximum(st.interval, 1) == 0) & (tick > 0)
-    is_interval_mode = jnp.isin(mode, jnp.asarray(sorted(_INTERVAL_MODES)))
-    event = is_interval_mode & at_interval
+    ivm = _INTERVAL_MODES if modes is None else (_INTERVAL_MODES & modes)
+    sel = lambda m: modes is None or m in modes
+    event = jnp.zeros(jnp.shape(mode), bool)
+    if ivm:
+        event |= jnp.isin(mode, jnp.asarray(sorted(ivm))) & at_interval
     # o_dynamic_same_goal also fires at tick 1 (o_dynamic_same_goal.py:17)
-    event |= (mode == MODE_IDS["o_dynamic_same_goal"]) & (tick == 1)
+    if sel(MODE_IDS["o_dynamic_same_goal"]):
+        event |= (mode == MODE_IDS["o_dynamic_same_goal"]) & (tick == 1)
     # Bezier node resampling cadence (ep_rand_bezier.py:22; o_: 6 s)
     cs_free = jnp.int32(5 * cfg.control_freq)
     cs_obst = jnp.int32(6 * cfg.control_freq)
-    event |= (mode == MODE_IDS["ep_rand_bezier"]) & (
-        (tick % cs_free == 0) | (tick == 1))
-    event |= (mode == MODE_IDS["o_ep_rand_bezier"]) & (
-        (tick % cs_obst == 0) | (tick == 1))
+    if sel(MODE_IDS["ep_rand_bezier"]):
+        event |= (mode == MODE_IDS["ep_rand_bezier"]) & (
+            (tick % cs_free == 0) | (tick == 1))
+    if sel(MODE_IDS["o_ep_rand_bezier"]):
+        event |= (mode == MODE_IDS["o_ep_rand_bezier"]) & (
+            (tick % cs_obst == 0) | (tick == 1))
     # o_test one-shot trigger (test/o_test.py:31-43)
-    event |= (mode == MODE_IDS["o_test"]) & (tick > st.interval)
+    if sel(MODE_IDS["o_test"]):
+        event |= (mode == MODE_IDS["o_test"]) & (tick > st.interval)
     return event
 
 
@@ -568,8 +578,8 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         # dynamic_same_goal.py:17-29: teleport the shared goal
         xy, z = _center_xy_z(keys[0], cfg, box, dtype, True)
         center = jnp.concatenate([xy, z[None]])
-        goals = generate_goals(n, st.formation, center, st.formation_size,
-                               jnp.zeros((), dtype), st.num_agents_per_layer, dtype)
+        goals = generate_goals_affine(n, st.formation, center,
+                                      st.formation_size, 0.0, dtype)
         new = st.replace(formation_center=center, goals=goals)
         return jax.tree.map(lambda a, b: jnp.where(at_interval, a, b), new, st)
 
@@ -582,7 +592,7 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         z = get_z_value(kz, st.formation, n, st.num_agents_per_layer, box,
                         st.formation_size)
         center = jnp.concatenate([xy, z[None]])
-        goals = generate_goals(n, fid, center, size, layer_dist, npl, dtype)
+        goals = generate_goals_affine(n, fid, center, size, layer_dist, dtype)
         goals = jax.random.permutation(kshuf, goals, axis=0)
         new = st.replace(formation=fid, num_agents_per_layer=npl, lowest_size=lo,
                          highest_size=hi, formation_size=size, layer_dist=layer_dist,
@@ -651,8 +661,8 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         c1, c2 = st.goal_center_2, st.goal_center_1
         fid, npl, lo, hi, size, layer_dist = _sample_formation_params(
             keys[1], cfg, st.mode, dtype)
-        g1 = generate_goals(n // 2, fid, c1, size, layer_dist, npl, dtype)
-        g2 = generate_goals(n - n // 2, fid, c2, size, layer_dist, npl, dtype)
+        g1 = generate_goals_affine(n // 2, fid, c1, size, layer_dist, dtype)
+        g2 = generate_goals_affine(n - n // 2, fid, c2, size, layer_dist, dtype)
         g1 = jax.random.permutation(keys[2], g1, axis=0)
         g2 = jax.random.permutation(keys[3], g2, axis=0)
         new = st.replace(goal_center_1=c1, goal_center_2=c2, formation=fid,
@@ -698,7 +708,7 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
         fid, npl, lo, hi, size, layer_dist = _sample_formation_params(
             keys[1], cfg, st.mode, dtype)
         center = max_free_square_center(keys[2], obst_map2d, centers, dtype)
-        goals = generate_goals(n, fid, center, size, layer_dist, npl, dtype)
+        goals = generate_goals_affine(n, fid, center, size, layer_dist, dtype)
         goals = jax.random.permutation(keys[3], goals, axis=0)
         new = st.replace(formation=fid, num_agents_per_layer=npl,
                          lowest_size=lo, highest_size=hi, formation_size=size,
@@ -709,8 +719,8 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
     def o_test(st):
         # test/o_test.py:31-43: after duration, move goals to end_point
         trigger = tick > st.interval
-        goals = generate_goals(n, st.formation, st.end_point, st.formation_size,
-                               jnp.zeros((), dtype), st.num_agents_per_layer, dtype)
+        goals = generate_goals_affine(n, st.formation, st.end_point,
+                                      st.formation_size, 0.0, dtype)
         new = st.replace(goals=goals, interval=st.interval + jnp.int32(
             (cfg.ep_time + 1) * cfg.control_freq))
         return jax.tree.map(lambda a, b: jnp.where(trigger, a, b), new, st)
@@ -836,33 +846,25 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
                           obst_centers: jax.Array | None,
                           allowed_modes: tuple | None,
                           capacity: int = 0) -> ScenarioState:
-    """scenario_step over a batch of E envs with EVENT COMPACTION.
+    """scenario_step over a batch of E envs, always bit-identical to the
+    naive `jax.vmap(scenario_step)` but restructured for TPU cost model
+    (kernel COUNT dominates, not element count):
 
-    The naive vmap evaluates every allowed mode's branch for every env every
-    tick, but the expensive branches (formation regeneration, goal teleports,
-    swaps, Bezier node resampling) only fire at sparse event ticks — every
-    4-6 s per env (scenarios/base.py QUADS_PARAMS_DICT intervals).  Here:
-
-      1. the cheap continuous motion runs vmapped for all envs (phase="fast");
-      2. `scenario_event` flags the ~E/500 envs with an event this tick;
-      3. those envs are gathered into `capacity` fixed slots (lax.top_k),
-         stepped with phase="slow", and scattered back.
-
-    Results are bit-identical to vmapped scenario_step ALWAYS, via a
-    four-tier lax.cond dispatch on the actual event count this tick:
-
-      0 events          -> identity (no slow work at all — the common tick;
-                           round 2 unconditionally paid a cap-slot slow
-                           phase every tick, ~24% of headline throughput)
-      <= cap            -> small-cap compaction (Poisson event traffic:
-                           per-env U(4,6) s intervals de-synchronize)
-      <= cap_big (E/8)  -> big-cap compaction: tick-SYNCHRONIZED bursts.
-                           Envs reset together, so modes with a constant
-                           interval (run_away's fixed 1 s, run_away.py:17;
-                           every bezier env's tick-1 resample) fire
-                           ~E/num_modes envs on the SAME tick.
-      > cap_big         -> uncompacted all-envs slow path (coinciding
-                           multi-mode bursts; never drops events).
+      1. the continuous per-tick motion runs fused for all envs
+         (`_fast_step_fused` — straight-line masked code, no switch);
+      2. the sparse event branches (goal teleports, swaps, Bezier node
+         resamples, heavy obstacle-mode updates) go through event
+         compaction, tiered by the actual event count this tick:
+           0 events   -> identity (no slow work)
+           <= cap     -> small-cap gather/compact/scatter
+           <= E/8     -> big-cap (tick-SYNCHRONIZED bursts: envs reset
+                         together, so constant-interval modes like
+                         run_away's fixed 1 s fire ~E/num_modes at once)
+           > E/8      -> uncompacted all-envs slow pass (never drops events)
+         A fused full-E masked alternative for the cheap event branches was
+         measured SLOWER (the per-env branch math at full batch outweighs
+         the compaction machinery; see round-3 commit history), so
+         compaction carries all event modes.
     """
     e = ticks.shape[0]
     has_obst = obst_active is not None
@@ -871,30 +873,48 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
         return scenario_step(cfg, st, t, k, oa, oc,
                              allowed_modes=allowed_modes, phase="slow")
 
+    # Leaves a slow branch can write (each branch is an st.replace over a
+    # subset of these).  All other leaves pass through the slow phase
+    # untouched, so merging them back would be pure kernel overhead
+    # (~8 leaves x 2-3 kernels per tick) — they are taken from `fast`.
+    writable = ("goals", "formation", "num_agents_per_layer", "lowest_size",
+                "highest_size", "formation_size", "layer_dist",
+                "formation_center", "goal_center_1", "goal_center_2",
+                "bezier_nodes", "interval", "end_point")
+
+    def merge_writable(merge_fn, fast, slow):
+        return fast.replace(**{
+            name: merge_fn(getattr(fast, name), getattr(slow, name))
+            for name in writable})
+
     if not has_obst:
         obst_active = jnp.zeros((e, 1), bool)
         obst_centers = jnp.zeros((e, 1, 2), sts.goals.dtype)
 
     fast = _fast_step_fused(cfg, sts, ticks, keys, allowed_modes)
 
-    event_modes = (set(int(m) for m in allowed_modes) - CONTINUOUS_MODES
-                   ) - {0, 1, 10, 11, 15, 16, 17} if allowed_modes is not None \
-        else set(range(len(MODES)))
+    allowed_set = (set(int(m) for m in allowed_modes)
+                   if allowed_modes is not None else set(range(len(MODES))))
+    event_modes = (allowed_set - CONTINUOUS_MODES) - {0, 1, 10, 11, 15, 16, 17}
     bezier_ids = {MODE_IDS["ep_rand_bezier"], MODE_IDS["o_ep_rand_bezier"]}
-    if allowed_modes is not None:
-        event_modes |= bezier_ids & set(int(m) for m in allowed_modes)
+    event_modes |= bezier_ids & allowed_set
     if not event_modes:
         return fast
 
     event = scenario_event(cfg, sts, ticks)
-    cap = capacity if capacity > 0 else max(32, e // 64)
+    # Default cap sized for the steady Poisson event traffic (~E/500 per
+    # tick from per-env U(4,6) s intervals): small, because the per-tick
+    # compacted slow phase evaluates EVERY allowed mode's branch per slot.
+    # Overflow escalates to the big-cap tier, so a tight cap costs at most
+    # an occasional escalation, not dropped events.
+    cap = capacity if capacity > 0 else max(16, e // 256)
     cap = min(cap, e)
+    bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
     if cap == e:
         # No compaction benefit — run the slow phase vmapped on all envs.
         slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
-        bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
-        return jax.tree.map(
-            lambda a, b: jnp.where(bmask(event, a), a, b), slow, fast)
+        return merge_writable(
+            lambda f, s: jnp.where(bmask(event, s), s, f), fast, slow)
 
     # Stream-compact event env indices into `cap` slots via cumsum+scatter
     # (O(E), no sort — cheaper than lax.top_k which lowers to a full sort).
@@ -903,17 +923,27 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
 
     def compacted_at(cap_i):
         def compacted(fast):
-            dest = jnp.where(event & (slot < cap_i), slot, cap_i)
-            idx = jnp.zeros((cap_i + 1,), jnp.int32).at[dest].set(
-                jnp.arange(e, dtype=jnp.int32), mode="drop")[:cap_i]
-            valid = jnp.arange(cap_i) < jnp.minimum(n_events, cap_i)
+            # One-hot compaction map WITHOUT a scatter: hot[c, e] == "env e
+            # is the (c+1)-th event this tick".  The previous
+            # `.at[dest].set(arange(E))` formulation was an E-update scatter
+            # every tick — TPU scatters serialize, and it measured as the
+            # largest share of the mix-vs-static gap.  The broadcast compare
+            # + row reduction below is fully vectorized; each hot row has at
+            # most one set lane (cumsum slots are unique), so the idx
+            # extraction by masked sum is exact.  Rows beyond n_events are
+            # all-False by construction.
+            rows = jnp.arange(cap_i, dtype=jnp.int32)
+            hot = event[None, :] & (slot[None, :] == rows[:, None])  # (cap,E)
+            valid = rows < jnp.minimum(n_events, cap_i)
+            idx = jnp.sum(
+                jnp.where(hot, jnp.arange(e, dtype=jnp.int32)[None, :], 0),
+                axis=1)
             take = lambda x: x[idx]
             sub = jax.tree.map(take, fast)
             slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
                                       obst_active[idx], obst_centers[idx])
-            bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
-            merged = jax.tree.map(
-                lambda a, b: jnp.where(bmask(valid, a), a, b), slow, sub)
+            merged = merge_writable(
+                lambda su, sl: jnp.where(bmask(valid, sl), sl, su), sub, slow)
             # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a
             # scatter with cap batch-varying indices, which XLA serializes
             # into cap sequential row writes PER LEAF on TPU (~20 leaves —
@@ -921,7 +951,6 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
             # exactly one hot slot and `merged` is always finite (invalid
             # slots carry the gathered fast values), so the einsum (an MXU
             # matmul) reproduces the scatter bit-for-bit.
-            hot = (idx[:, None] == jnp.arange(e)[None, :]) & valid[:, None]
             row_written = jnp.any(hot, axis=0)
 
             def merge(full, m):
@@ -933,16 +962,15 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
                 return jnp.where(
                     row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
 
-            return jax.tree.map(merge, fast, merged)
+            return merge_writable(merge, fast, merged)
         return compacted
 
     def uncompacted(fast):
         # > cap_big events this tick (coinciding synchronized bursts):
         # run the slow phase on every env so no event is ever dropped.
         slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
-        bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
-        return jax.tree.map(
-            lambda a, b: jnp.where(bmask(event, a), a, b), slow, fast)
+        return merge_writable(
+            lambda f, s: jnp.where(bmask(event, s), s, f), fast, slow)
 
     cap_big = min(e, max(8 * cap, e // 8))
     if cap_big > cap:

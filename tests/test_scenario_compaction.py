@@ -87,9 +87,10 @@ def test_compaction_capacity_equals_batch():
 
 
 def test_compaction_overflow_falls_back_exact():
-    """More events than capacity (the tick-synchronized case: every bezier
-    env fires its 5 s node resample on the same tick) must fall back to the
-    uncompacted slow path — no event may be dropped."""
+    """Every env fires its bezier node resample on the same tick (the
+    tick-synchronized case): more events than the small cap, so the dispatch
+    escalates to the big-cap / uncompacted tiers — no event may be dropped,
+    and the result must stay bit-identical to the vmapped full step."""
     cfg = EnvConfig(num_agents=4, quads_mode="mix")
     e = 32
     states = _make_batch(cfg, e, jax.random.PRNGKey(7))
@@ -101,10 +102,51 @@ def test_compaction_overflow_falls_back_exact():
     _compare(cfg, states, ticks, keys, cfg.mode_list(), capacity=4)
 
 
+HEAVY_ALLOWED = (MODE_IDS["o_static_same_goal"],
+                 MODE_IDS["o_dynamic_same_goal"],
+                 MODE_IDS["o_dynamic_diff_goal"])
+
+
+def test_heavy_mode_compaction_exact():
+    """Heavy obstacle event modes (rejection sampling / max-free-square DP)
+    through the compaction tiers with sparse events (<= cap): must be
+    bit-identical to the vmapped full step."""
+    cfg = EnvConfig(num_agents=4, quads_mode="o_dynamic_same_goal",
+                    use_obstacles=True)
+    e = 16
+    states = _make_batch(cfg, e, jax.random.PRNGKey(31))
+    modes = jnp.where(jnp.arange(e) % 4 == 0,
+                      MODE_IDS["o_dynamic_same_goal"],
+                      MODE_IDS["o_static_same_goal"]).astype(jnp.int32)
+    # two of the o_dynamic envs at their interval tick -> 2 events, cap 4
+    interval = jnp.where(jnp.arange(e) < 8, 300,
+                         500 + jnp.arange(e)).astype(jnp.int32)
+    states = states.replace(scenario=states.scenario.replace(
+        mode=modes, interval=interval))
+    ticks = jnp.full((e,), 300, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(37), e)
+    _compare(cfg, states, ticks, keys, HEAVY_ALLOWED, capacity=4)
+
+
+def test_heavy_mode_compaction_overflow_exact():
+    """All envs in a heavy mode fire on the same tick (> cap_big) -> the
+    uncompacted fallback must run and stay bit-identical."""
+    cfg = EnvConfig(num_agents=4, quads_mode="o_dynamic_same_goal",
+                    use_obstacles=True)
+    e = 16
+    states = _make_batch(cfg, e, jax.random.PRNGKey(41))
+    modes = jnp.full((e,), MODE_IDS["o_dynamic_same_goal"], jnp.int32)
+    states = states.replace(scenario=states.scenario.replace(
+        mode=modes, interval=jnp.full((e,), 200, jnp.int32)))
+    ticks = jnp.full((e,), 400, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(43), e)
+    _compare(cfg, states, ticks, keys, HEAVY_ALLOWED, capacity=2)
+
+
 def test_compaction_mid_tier_burst_exact():
-    """Event count between cap and cap_big (a tick-synchronized burst like
-    run_away's fixed 1 s interval) must take the BIG-CAP compaction tier —
-    and still be bit-identical to the full vmapped step."""
+    """A tick-synchronized run_away burst (fixed 1 s interval): event count
+    between cap and cap_big takes the BIG-CAP compaction tier; must stay
+    bit-identical to the vmapped full step."""
     cfg = EnvConfig(num_agents=4, quads_mode="mix")
     e = 64
     states = _make_batch(cfg, e, jax.random.PRNGKey(9))
@@ -168,6 +210,33 @@ def test_dynamic_formations_affine_cache():
             got = st.goals_base + s * st.goals_slope
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_goal_affine_tables_match_generator():
+    """generate_goals_affine == generate_goals for every formation id and a
+    grid of sizes/layer_dists (the hot path uses the affine tables; the
+    reference-faithful generator remains the oracle)."""
+    from quadswarm_tpu.env.formations import (
+        NUM_FORMATIONS, generate_goals, generate_goals_affine,
+    )
+
+    for n in (4, 7, 8):
+        for fid in range(NUM_FORMATIONS):
+            npl = jnp.asarray(50 if 4 <= fid <= 6 else 8, jnp.int32)
+            for size in (0.0, 0.37, 1.9):
+                for ld in (0.0, 0.25):
+                    center = jnp.asarray([0.3, -1.2, 2.0], jnp.float32)
+                    want = generate_goals(n, fid, center,
+                                          jnp.asarray(size, jnp.float32),
+                                          jnp.asarray(ld, jnp.float32),
+                                          npl, jnp.float32)
+                    got = generate_goals_affine(n, jnp.asarray(fid), center,
+                                                size, ld, jnp.float32)
+                    np.testing.assert_allclose(np.asarray(got),
+                                               np.asarray(want),
+                                               rtol=1e-5, atol=1e-5,
+                                               err_msg=f"n={n} fid={fid} "
+                                                       f"size={size} ld={ld}")
 
 
 def test_event_predicate_superset():
