@@ -55,11 +55,12 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
         use_obstacles=obstacles,
         obs_repr="xyz_vxyz_R_omega_floor" if obstacles else "xyz_vxyz_R_omega",
         use_pallas_dynamics=use_pallas,
-        # Fused pair kernels for large swarms (same gate as the train CLI:
-        # the blockwise path beats the XLA (N, N) matrices from N=128 up)
-        use_pallas_pairs=(jax.default_backend() == "tpu"
-                          and num_agents >= 128
-                          if use_pallas_pairs is None else use_pallas_pairs),
+        # Fused pair kernels: OFF by default, same as the train CLI — the
+        # XLA (N, N) path measured 1.3-1.4x faster through the env step at
+        # every N in 128..1024 on v5e (docs/PERF.md).  --pallas_pairs forces
+        # them on (O(N) pair memory for very large swarms).
+        use_pallas_pairs=(False if use_pallas_pairs is None
+                          else use_pallas_pairs),
         dtype=jnp.float32)
     dyn = DynamicsParams.from_model(crazyflie_params(), dt=env_cfg.dt).astype(np.float32)
 
@@ -136,7 +137,7 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
                 iters: int = 10, repeats: int = 5,
                 use_pallas: bool | None = None,
                 replay_sample_prob: float = 0.75,
-                model_dtype=None, sgd_unroll: int = 1) -> dict:
+                model_dtype=None, sgd_unroll: int = 8) -> dict:
     """End-to-end training throughput (rollout + PPO update, one chip):
     the 8-drone mix baseline config (rollout 128, batch 1024, replay
     buffer on, corl attention encoder), same delta-method timing.
@@ -233,7 +234,8 @@ if __name__ == "__main__":
                    help="force the XLA dynamics path")
     p.add_argument("--pallas_pairs", action="store_true", default=None,
                    help="force the fused Pallas pair kernels in the env path "
-                        "(default: auto — on for TPU at N>=128)")
+                        "(default: off — the XLA (N, N) path measured "
+                        "1.3-1.4x faster at N=128..1024; see docs/PERF.md)")
     p.add_argument("--no-pallas_pairs", dest="pallas_pairs",
                    action="store_false",
                    help="force the XLA (N, N) pairwise path")
@@ -250,7 +252,7 @@ if __name__ == "__main__":
     p.add_argument("--train_envs", type=int, default=1024,
                    help="env batch for --train")
     p.add_argument("--train_iters", type=int, default=10)
-    p.add_argument("--sgd_unroll", type=int, default=1,
+    p.add_argument("--sgd_unroll", type=int, default=8,
                    help="XLA unroll factor for the minibatch-SGD scan "
                         "in --train")
     p.add_argument("--model_f32", action="store_true",

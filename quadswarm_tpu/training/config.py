@@ -61,6 +61,14 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quads_use_pallas", default="auto",
                    choices=["auto", "true", "false"],
                    help="fused Pallas dynamics kernel (auto: on for TPU)")
+    p.add_argument("--quads_use_pallas_pairs", default="false",
+                   choices=["true", "false"],
+                   help="fused Pallas pair kernels + packed pair history "
+                        "(O(N) pair memory).  Measured SLOWER than the XLA "
+                        "(N, N) path through the env step at N=128..1024 on "
+                        "v5e (docs/PERF.md), so off by default; turn on for "
+                        "very large swarms where the (N, N) buffers press "
+                        "HBM.")
     # Accepted-and-ignored for drop-in compatibility with reference training
     # commands (quadrotor_params.py:21 — numba has no meaning here; the
     # TPU analogue is --quads_use_pallas).
@@ -155,7 +163,7 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch_size", default=1024, type=int)
     p.add_argument("--num_epochs", default=1, type=int)
     p.add_argument("--reward_clip", default=10.0, type=float)
-    p.add_argument("--sgd_unroll", default=1, type=int,
+    p.add_argument("--sgd_unroll", default=8, type=int,
                    help="XLA unroll factor for the sequential minibatch-SGD "
                         "scan (TPU knob, no reference analogue)")
     # APPO (SF --async_rl / --with_vtrace; parallel/appo.py)
@@ -327,11 +335,14 @@ def env_config_from_args(args) -> "EnvConfig":
         obst_size_max=args.quads_obst_size_max,
         use_downwash=args.quads_use_downwash,
         quads_mode=args.quads_mode,
-        # Large-swarm fused pair kernels (collision masks + k-nearest obs,
-        # O(N) memory — ops/pallas/swarm_interactions.py), on TPU from 128
-        # agents where blockwise tiling beats the XLA (N, N) path.
+        # Fused pair kernels (collision masks + k-nearest obs, O(N) pair
+        # memory — ops/pallas/swarm_interactions.py).  Round-3 on-TPU
+        # measurements (docs/PERF.md): the XLA (N, N) path is 1.3-1.4x
+        # FASTER through the whole env step at every N in 128..1024, so the
+        # kernels are opt-in (memory relief for very large N), not an
+        # automatic speed gate.
         use_pallas_pairs=(jax.default_backend() == "tpu"
-                          and args.quads_num_agents >= 128),
+                          and args.quads_use_pallas_pairs == "true"),
         use_pallas_dynamics=(jax.default_backend() == "tpu"
                              if args.quads_use_pallas == "auto"
                              else args.quads_use_pallas == "true"),
@@ -389,7 +400,7 @@ def ppo_config_from_args(args) -> "PPOConfig":
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         reward_clip=args.reward_clip,
-        sgd_unroll=getattr(args, "sgd_unroll", 1),
+        sgd_unroll=getattr(args, "sgd_unroll", 8),
         num_envs=args.num_envs,
         replay_sample_prob=args.replay_buffer_sample_prob,
         with_vtrace=getattr(args, "with_vtrace", False),
