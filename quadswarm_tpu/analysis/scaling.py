@@ -67,6 +67,27 @@ def worker(args) -> None:
     trainer.iteration()  # compile
     float(jnp.sum(jax.tree.leaves(trainer.train_state.params)[0]))
 
+    # Compiled-program cost analysis: per-DEVICE flops of the train step.
+    # On a single-core host with virtual devices, wall time measures thread
+    # contention + collective busy-wait, not program quality; flops/device
+    # scaling as 1/D is the property that proves the work is actually
+    # sharded (no replicated compute) and transfers to real chips.
+    flops = None
+    try:
+        rew_coeff = jax.tree.map(
+            lambda x: jnp.asarray(x, env_cfg.dtype),
+            trainer.current_rew_coeff())
+        key = jax.random.PRNGKey(1)
+        ca = trainer._iter_fn.lower(
+            trainer.train_state, trainer.env_states, trainer.obs, key,
+            rew_coeff, trainer.replay_states).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        pass
+
     def timed(n):
         t0 = time.perf_counter()
         for _ in range(n):
@@ -84,6 +105,7 @@ def worker(args) -> None:
         "devices": d, "num_envs": num_envs, "sec_per_iter": round(sec, 4),
         "agent_steps_per_s": round(ppo_cfg.rollout * num_envs * 8 / sec),
         "runs_sec": [round(r, 4) for r in runs],
+        "flops_per_device": flops,
     }), flush=True)
 
 
@@ -144,9 +166,19 @@ def main() -> None:
         t1 = results[0]["sec_per_iter"]
         table = {str(r["devices"]): round(t1 / r["sec_per_iter"], 3)
                  for r in results}
+        f1 = results[0].get("flops_per_device")
+        flops_scaling = ({str(r["devices"]):
+                          round(f1 / max(r["flops_per_device"], 1.0), 3)
+                          for r in results if r.get("flops_per_device")}
+                         if f1 else None)
         print(json.dumps({"metric": f"{args.mode}-scaling efficiency "
                                     "(t_1/t_D, flagship train step)",
-                          "efficiency": table, "mode": args.mode,
+                          "efficiency": table,
+                          # flops_1 / flops_D: == D when the compiled step
+                          # truly shards the work (no replicated compute);
+                          # the property that transfers to real chips.
+                          "flops_scaling": flops_scaling,
+                          "mode": args.mode,
                           "num_envs": results[0]["num_envs"]}), flush=True)
 
 

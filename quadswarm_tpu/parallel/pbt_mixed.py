@@ -172,18 +172,12 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
                                       ppo_cfg.gae_lambda)
 
     t_dim, e_dim, n_dim = traj.reward.shape
-    total = t_dim * e_dim * n_dim
-    flat = (
-        traj.obs.reshape(total, -1),
-        traj.actions.reshape(total, -1),
-        traj.log_prob.reshape(total),
-        traj.value.reshape(total),
-        advantages.reshape(total),
-        returns.reshape(total),
-    )
-    assign_flat = traj.assignment.reshape(total)
+    tree = (traj.obs, traj.actions, traj.log_prob, traj.value,
+            advantages, returns)
     batched, assign_mb = shuffled_minibatches(
-        (flat, assign_flat), total, ppo_cfg.batch_size, k_perm)
+        (tree, traj.assignment), (t_dim, e_dim, n_dim),
+        ppo_cfg.batch_size, k_perm,
+        groups=max(ppo_cfg.sgd_shuffle_groups, 1))
 
     def update_policy(pid, params, opt_state):
         def minibatch(carry, mb):

@@ -65,6 +65,12 @@ class PPOConfig:
     # compile time for fewer scalar-core loop bubbles between the (small)
     # per-minibatch programs.  Pure performance knob — no semantic effect.
     sgd_unroll: int = struct.field(pytree_node=False, default=1)
+    # Env groups for the shard-aware minibatch layout (shuffled_minibatches).
+    # 0 = auto: 1 on a single device (the grouped per-group gather costs ~6%
+    # there), 32 on a mesh (required so the SGD phase shards instead of
+    # replicating — docs/SCALING.md).  Multi-device training needs
+    # device_count | groups.
+    sgd_shuffle_groups: int = struct.field(pytree_node=False, default=0)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in
@@ -206,35 +212,72 @@ def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     return train_state, env_states, obs, replay_states, metrics, infos
 
 
-def shuffled_minibatches(flat, total: int, batch_size: int, key):
-    """Chunk-shuffled minibatch layout shared by sync PPO/APPO and mixed PBT.
+def shuffled_minibatches(tree, dims: tuple, batch_size: int, key,
+                         groups: int = 1):
+    """Shard-aware chunk-shuffled minibatch layout (sync PPO/APPO/mixed PBT).
 
-    Shuffles CHUNKS of samples, not individual rows: a random row
-    permutation makes x[perm] a 262k-row random gather (~170 ms/iter on
-    TPU, where scalar-indexed gathers serialize); permuting ~256-row
-    blocks keeps the gather coarse-grained and bandwidth-bound.  Chunk c
-    is the stride-num_chunks slice {c, c+num_chunks, c+2*num_chunks, ...}
-    of the flat buffer (a transpose, not a gather), so for a [T,E,N]-major
-    flattening every chunk — and therefore every minibatch — spans all
-    timesteps and many envs/agents rather than one timestep's contiguous
-    envs (the reference shuffles per-sample; docs/PARITY.md).
+    Leaves are [T, E, N, ...]; returns the tree with leaves reshaped to
+    (num_minibatches, batch, ...).
 
-    `flat` is a pytree of (total, ...) arrays; returns the same tree with
-    leaves reshaped to (num_minibatches, batch, ...).
+    Two properties, both load-bearing on TPU:
+
+    * CHUNKS, not rows: a random row permutation makes x[perm] a 262k-row
+      random gather (~170 ms/iter; scalar-indexed gathers serialize);
+      permuting strided blocks keeps the gather coarse and bandwidth-bound.
+      Chunks are stride-num_chunks slices of each group's t-major stream,
+      so every chunk — and therefore every minibatch — spans all rollout
+      timesteps (the reference shuffles per-sample; docs/PARITY.md).
+    * GROUPED by env range: the buffer is split into g = gcd(E, batch,
+      `groups`) contiguous env groups and every minibatch draws an equal
+      number of chunks from each group.  Under a data-sharded env batch
+      each group lives on one device and each minibatch spans all devices
+      evenly, so the minibatch-SGD phase SHARDS.  The previous [T,E,N]-flat
+      layout mixed the sharded env axis in a reshape, which made XLA
+      all-gather the trajectory and replicate the whole learner per device
+      (measured: ~60% of train-step flops replicated at D>=2 —
+      docs/SCALING.md).  Multi-device training needs D | g; the default
+      cap of 32 groups covers the practical mesh sizes for this model.
     """
+    import math
+
+    t_dim, e_dim, n_dim = dims
+    total = t_dim * e_dim * n_dim
     num_minibatches = max(total // batch_size, 1)
     batch = min(batch_size, total)
-    chunk = min(256, batch)
-    while batch % chunk:
+    g = math.gcd(math.gcd(e_dim, batch), max(groups, 1))
+    b = batch // g                     # rows per group per minibatch
+    chunk = min(256, b)
+    while b % chunk:
         chunk //= 2
-    num_chunks = total // chunk
-    perm = jax.random.permutation(key, num_chunks)
-    return jax.tree.map(
-        lambda x: x[: num_chunks * chunk].reshape(
-            (chunk, num_chunks) + x.shape[1:]).swapaxes(0, 1)[perm]
-        [: num_minibatches * (batch // chunk)].reshape(
-            (num_minibatches, batch) + x.shape[1:]),
-        flat)
+    s_g = total // g                   # group stream length (env-major)
+    num_chunks = s_g // chunk
+    bc = b // chunk                    # chunks per group per minibatch
+    # INDEPENDENT permutation per group: group streams have identical
+    # internal (env-major, stride-interleaved) structure, so a shared perm
+    # would give every group's chunk the same stream offset and collapse
+    # each minibatch onto the same timestep subset.  The per-group gather
+    # moves whole chunk-row blocks (>=16 rows per index), so it stays
+    # coarse/bandwidth-bound on TPU.
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, num_chunks)
+    )(jax.random.split(key, g))[:, : num_minibatches * bc]   # (g, sel)
+
+    def layout(x):
+        rest = x.shape[3:]
+        # Group = contiguous env range (device shard); stream within a
+        # group is T-MAJOR so a stride-interleaved chunk spans the whole
+        # rollout time range regardless of the group count.
+        xs = x.reshape((t_dim, g, e_dim // g, n_dim) + rest)
+        xs = jnp.moveaxis(xs, 1, 0).reshape((g, s_g) + rest)
+        xs = xs[:, : num_chunks * chunk]
+        xs = xs.reshape((g, chunk, num_chunks) + rest).swapaxes(1, 2)
+        idx = perms.reshape(perms.shape + (1,) * (xs.ndim - 2))
+        xs = jnp.take_along_axis(xs, idx, axis=1)
+        xs = xs.reshape((g, num_minibatches, b) + rest)
+        return jnp.swapaxes(xs, 0, 1).reshape(
+            (num_minibatches, g * b) + rest)
+
+    return jax.tree.map(layout, tree)
 
 
 def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
@@ -242,19 +285,16 @@ def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
     """Shuffled minibatch SGD over a flattened [T,E,N] trajectory (the
     learner half of the iteration; shared by sync PPO and APPO)."""
     t_dim, e_dim, n_dim = traj.reward.shape
+    dims = (t_dim, e_dim, n_dim)
     total = t_dim * e_dim * n_dim
-    flat = (
-        traj.obs.reshape(total, -1),
-        traj.actions.reshape(total, -1),
-        traj.log_prob.reshape(total),
-        traj.value.reshape(total),
-        advantages.reshape(total),
-        returns.reshape(total),
-    )
+    tree = (traj.obs, traj.actions, traj.log_prob, traj.value,
+            advantages, returns)
     num_minibatches = max(total // ppo_cfg.batch_size, 1)
 
     def epoch(train_state, ek):
-        batched = shuffled_minibatches(flat, total, ppo_cfg.batch_size, ek)
+        batched = shuffled_minibatches(
+            tree, dims, ppo_cfg.batch_size, ek,
+            groups=max(ppo_cfg.sgd_shuffle_groups, 1))
 
         def minibatch(train_state, batch):
             grad_fn = jax.value_and_grad(
@@ -310,6 +350,12 @@ class Trainer:
                 n_dev -= 1
             mesh = make_mesh(devs[:n_dev])
         self.mesh = mesh
+        if ppo_cfg.sgd_shuffle_groups == 0:
+            # Auto: plain single-gather layout on one device; 32 env groups
+            # on a mesh so the minibatch-SGD phase shards (docs/SCALING.md).
+            ppo_cfg = ppo_cfg.replace(
+                sgd_shuffle_groups=1 if self.mesh.size == 1 else 32)
+            self.ppo_cfg = ppo_cfg
         self.anneal_schedules = anneal_schedules or {}
         self.env_steps = 0
 

@@ -186,9 +186,11 @@ def test_shuffled_minibatches_layout():
 
     t_dim, e_dim, n_dim = 16, 64, 4
     total = t_dim * e_dim * n_dim
-    flat_idx = jnp.arange(total)
+    idx = jnp.arange(total).reshape(t_dim, e_dim, n_dim)
     batch_size = 512
-    mb = shuffled_minibatches((flat_idx,), total, batch_size, jax.random.PRNGKey(0))[0]
+    dims = (t_dim, e_dim, n_dim)
+    mb = shuffled_minibatches((idx,), dims, batch_size,
+                              jax.random.PRNGKey(0), groups=32)[0]
     assert mb.shape == (total // batch_size, batch_size)
     # exact partition: every sample appears exactly once
     assert np.array_equal(np.sort(np.asarray(mb).ravel()), np.arange(total))
@@ -198,6 +200,22 @@ def test_shuffled_minibatches_layout():
     for row_t, row_e in zip(tsteps, envs):
         assert len(np.unique(row_t)) == t_dim, "minibatch must span all timesteps"
         assert len(np.unique(row_e)) >= e_dim // 4, "minibatch must span many envs"
+    # shard-awareness: every minibatch draws the SAME number of rows from
+    # each contiguous env group (group = device shard under data sharding)
+    groups = 32
+    g_of_row = envs // (e_dim // np.gcd(np.gcd(e_dim, batch_size), groups))
+    for row_g in g_of_row:
+        _, counts = np.unique(row_g, return_counts=True)
+        assert len(set(counts)) == 1, "groups must contribute equally"
     # different keys give different layouts
-    mb2 = shuffled_minibatches((flat_idx,), total, batch_size, jax.random.PRNGKey(1))[0]
+    mb2 = shuffled_minibatches((idx,), dims, batch_size,
+                               jax.random.PRNGKey(1), groups=32)[0]
     assert not np.array_equal(np.asarray(mb), np.asarray(mb2))
+    # single-device default (groups=1): still an exact partition spanning
+    # all timesteps, via one coarse gather
+    mb1 = shuffled_minibatches((idx,), dims, batch_size,
+                               jax.random.PRNGKey(0), groups=1)[0]
+    assert np.array_equal(np.sort(np.asarray(mb1).ravel()), np.arange(total))
+    t1 = np.asarray(mb1) // (e_dim * n_dim)
+    for row_t in t1:
+        assert len(np.unique(row_t)) == t_dim
