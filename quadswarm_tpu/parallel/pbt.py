@@ -23,7 +23,7 @@ import numpy as np
 
 from quadswarm_tpu.parallel.ppo import Trainer
 from quadswarm_tpu.utils.checkpoint import save_checkpoint
-from quadswarm_tpu.utils.metrics import MetricLogger, aggregate_episode_stats
+from quadswarm_tpu.utils.metrics import MetricLogger
 
 MUTABLE_COEFFS = ("quadcol_bin", "quadcol_bin_smooth_max", "quadcol_bin_obst")
 
@@ -58,30 +58,38 @@ class PolicySlot:
 class PBTRunner:
     def __init__(self, env_cfg, ppo_cfg, model, dyn_params, pbt_cfg: PBTConfig,
                  seed: int = 0, anneal_schedules=None, exp_dir: str = "train_dir/pbt",
-                 base_rew_coeff: dict | None = None):
+                 base_rew_coeff: dict | None = None, mesh=None):
         self.pbt_cfg = pbt_cfg
         self.exp_dir = exp_dir
         self.rng = np.random.default_rng(seed)
+        # `mesh` (e.g. the global multi-host mesh) shards EACH policy's env
+        # batch over every device — the TPU form of the reference's 4-GPU PBT
+        # run (pbt_quads_multi_obstacles.py:14-19), where policies time-share
+        # the whole slice instead of owning one device each.
         self.policies = [
             PolicySlot(Trainer(env_cfg, ppo_cfg, model, dyn_params,
                                seed=seed + 1000 * p,
                                anneal_schedules=anneal_schedules,
-                               base_rew_coeff=base_rew_coeff))
+                               base_rew_coeff=base_rew_coeff, mesh=mesh))
             for p in range(pbt_cfg.num_policies)
         ]
+        self.is_main = jax.process_index() == 0
         self.loggers = [MetricLogger(os.path.join(exp_dir, f"p{p}"))
-                        for p in range(pbt_cfg.num_policies)]
+                        for p in range(pbt_cfg.num_policies)] \
+            if self.is_main else None
 
     @property
     def total_env_steps(self) -> int:
         return sum(s.trainer.env_steps for s in self.policies)
 
-    def _record_objective(self, slot: PolicySlot, infos) -> None:
-        infos = jax.device_get(infos)
-        done = np.asarray(infos["episode_done"]).astype(bool)
-        if done.any():
-            tr = np.asarray(infos["true_reward"])  # [T, E, N]
-            slot.recent_true_rewards.extend(tr[done].mean(axis=-1).tolist())
+    def _record_objective(self, slot: PolicySlot, stats: dict) -> None:
+        """Record this rollout's episode-mean true_reward, weighted by episode
+        count (the batch mean enters the window once per finished episode,
+        capped).  Uses the multi-host-safe aggregated stats rather than
+        fetching the sharded info arrays."""
+        if "true_reward" in stats:
+            n = min(int(stats.get("num_episodes", 1)), 100)
+            slot.recent_true_rewards.extend([stats["true_reward"]] * n)
             slot.recent_true_rewards = slot.recent_true_rewards[-1000:]
 
     def _mutate_coeffs(self, coeffs: dict) -> dict:
@@ -136,10 +144,12 @@ class PBTRunner:
         while self.total_env_steps < total_env_steps:
             for p, slot in enumerate(self.policies):
                 metrics, infos = slot.trainer.iteration()
-                self._record_objective(slot, infos)
-                if it % log_every == 0:
+                # collective on every process; result identical on all ranks
+                stats = slot.trainer.episode_stats(infos)
+                self._record_objective(slot, stats)
+                if it % log_every == 0 and self.is_main:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                    m.update(aggregate_episode_stats(jax.device_get(infos)))
+                    m.update(stats)
                     m["pbt/objective"] = slot.objective()
                     self.loggers[p].log(slot.trainer.env_steps, m)
                 steps = slot.trainer.env_steps
@@ -150,6 +160,7 @@ class PBTRunner:
                     if p == len(self.policies) - 1:
                         self._pbt_round()
             it += 1
-        for p, slot in enumerate(self.policies):
-            save_checkpoint(os.path.join(self.exp_dir, f"checkpoint_p{p}"),
-                            slot.trainer.train_state, slot.trainer.env_steps)
+        if self.is_main:
+            for p, slot in enumerate(self.policies):
+                save_checkpoint(os.path.join(self.exp_dir, f"checkpoint_p{p}"),
+                                slot.trainer.train_state, slot.trainer.env_steps)

@@ -219,12 +219,28 @@ class MixedPBTRunner:
     def __init__(self, env_cfg: EnvConfig, ppo_cfg: PPOConfig,
                  model: ActorCritic, dyn_params: Any, pbt_cfg,
                  seed: int = 0, exp_dir: str = "train_dir/pbt_mixed",
-                 base_rew_coeff: dict | None = None):
+                 base_rew_coeff: dict | None = None, mesh=None):
+        from quadswarm_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated_sharding,
+        )
         self.env_cfg, self.ppo_cfg, self.model = env_cfg, ppo_cfg, model
         self.dyn_params, self.pbt_cfg, self.exp_dir = dyn_params, pbt_cfg, exp_dir
         self.rng = np.random.default_rng(seed)
         p_count = pbt_cfg.num_policies
         self.num_policies = p_count
+        if mesh is None:
+            # Largest device count that divides the shared env batch: the
+            # stacked-P learner replicates over the mesh, the env batch
+            # shards (TPU form of the reference's 4-GPU PBT run,
+            # pbt_quads_multi_obstacles.py:14-19).
+            devs = jax.devices()
+            n_dev = len(devs)
+            while ppo_cfg.num_envs % n_dev != 0:
+                n_dev -= 1
+            mesh = make_mesh(devs[:n_dev])
+        self.mesh = mesh
+        bsh = batch_sharding(mesh)
+        rsh = replicated_sharding(mesh)
 
         key = jax.random.PRNGKey(seed)
         self.key, k_model, k_env, k_assign = jax.random.split(key, 4)
@@ -235,23 +251,27 @@ class MixedPBTRunner:
             optax.adam(ppo_cfg.learning_rate)))
         init_keys = jax.random.split(k_model, p_count)
         obs_dim = env_cfg.obs_dim
-        self.params = jax.vmap(
-            lambda k: model.init(k, jnp.zeros((1, obs_dim))))(init_keys)
-        self.opt_state = jax.vmap(self.tx.init)(self.params)
+        self.params = jax.device_put(jax.vmap(
+            lambda k: model.init(k, jnp.zeros((1, obs_dim))))(init_keys), rsh)
+        self.opt_state = jax.device_put(
+            jax.vmap(self.tx.init)(self.params), rsh)
 
         env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
-        self.env_states, self.obs = jax.jit(jax.vmap(
-            lambda k: env_reset(env_cfg, dyn_params, k)))(env_keys)
-        self.assignment = jax.random.randint(
-            k_assign, (ppo_cfg.num_envs, env_cfg.num_agents), 0, p_count)
+        self.env_states, self.obs = jax.jit(
+            jax.vmap(lambda k: env_reset(env_cfg, dyn_params, k)),
+            out_shardings=bsh)(env_keys)
+        self.assignment = jax.device_put(jax.random.randint(
+            k_assign, (ppo_cfg.num_envs, env_cfg.num_agents), 0, p_count), bsh)
         base = dict(base_rew_coeff) if base_rew_coeff else dict(
             quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
         self.coeffs = [dict(base) for _ in range(p_count)]
         self.env_steps = 0
         self.objective_hist = [[] for _ in range(p_count)]
-        self._iter = jax.jit(functools.partial(
-            mixed_train_iteration, env_cfg, dyn_params, model, ppo_cfg,
-            p_count, self.tx))
+        self._iter = jax.jit(
+            functools.partial(mixed_train_iteration, env_cfg, dyn_params,
+                              model, ppo_cfg, p_count, self.tx),
+            in_shardings=(rsh, rsh, bsh, bsh, bsh, rsh, rsh),
+            donate_argnums=(0, 1, 2, 3, 4))
 
     def _coeff_stack(self) -> RewardCoeffs:
         stacked = {k: jnp.asarray([c.get(k, 0.0) for c in self.coeffs],

@@ -406,6 +406,19 @@ class Trainer:
             in_shardings=self._shardings,
             donate_argnums=(0, 1, 2, 5),
         )
+        self._stats_fn = None
+
+    def episode_stats(self, infos) -> dict:
+        """Aggregate rollout episode stats multi-host-safely: jit-reduce the
+        (env-sharded) info pytree to replicated scalars on device, then
+        convert host-side.  Every process must call this (the reduction is a
+        collective); only rank 0 typically logs the result."""
+        from quadswarm_tpu.utils.metrics import episode_stat_sums, stats_from_sums
+        if self._stats_fn is None:
+            self._stats_fn = jax.jit(
+                episode_stat_sums,
+                out_shardings=replicated_sharding(self.mesh))
+        return stats_from_sums(jax.device_get(self._stats_fn(infos)))
 
     def set_ppo_cfg(self, ppo_cfg: PPOConfig) -> None:
         """Swap trainer hyperparameters (e.g. a PBT-mutated gamma).  The

@@ -30,10 +30,11 @@ def main(argv=None) -> int:
     from quadswarm_tpu.utils.checkpoint import (
         checkpoint_dir, latest_checkpoint, load_checkpoint, save_checkpoint,
     )
-    from quadswarm_tpu.utils.metrics import MetricLogger, aggregate_episode_stats
+    from quadswarm_tpu.utils.metrics import MetricLogger
 
     args = parse_swarm_cfg(argv)
     mesh = None
+    is_main = True   # rank 0: the only process that logs/prints/saves
     if args.multi_host:
         # One training job over every chip of the slice: jax.distributed
         # brings up the cross-host runtime BEFORE any backend use, the env
@@ -43,16 +44,15 @@ def main(argv=None) -> int:
         from quadswarm_tpu.parallel.distributed import (
             global_data_mesh, init_distributed,
         )
-        if args.with_pbt:
-            raise ValueError("--multi_host with PBT is not supported yet; "
-                             "run PBT via the launcher's per-job processes")
         init_distributed()
         import jax as _jax
         mesh = global_data_mesh()
+        is_main = _jax.process_index() == 0
         print(f"multi-host: process {_jax.process_index()}/"
               f"{_jax.process_count()}, {len(_jax.devices())} global devices")
     exp_dir = os.path.join(args.train_dir, args.experiment)
-    save_cfg(args, exp_dir)
+    if is_main:
+        save_cfg(args, exp_dir)
 
     env_cfg = env_config_from_args(args)
     ppo_cfg = ppo_config_from_args(args)
@@ -81,17 +81,17 @@ def main(argv=None) -> int:
             import jax as _jax
             runner = MixedPBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
                                     seed=args.seed, exp_dir=exp_dir,
-                                    base_rew_coeff=base_coeff)
+                                    base_rew_coeff=base_coeff, mesh=mesh)
             if runner.restore(args.train_dir, args.experiment):
                 print(f"resumed mixed PBT at {runner.env_steps} env steps")
-            logger = MetricLogger(exp_dir)
+            logger = MetricLogger(exp_dir) if is_main else None
             it, last_round = 0, 0
             last_save = time.time()
             try:
                 while runner.env_steps < args.train_for_env_steps:
                     metrics, infos = runner.iteration()
                     it += 1
-                    if it % args.log_every_iters == 0:
+                    if it % args.log_every_iters == 0 and is_main:
                         m = {f"policy{p}/loss": float(v) for p, v in enumerate(
                             _jax.device_get(metrics["loss"]))}
                         m["reward_mean"] = float(metrics["reward_mean"])
@@ -103,17 +103,22 @@ def main(argv=None) -> int:
                             and runner.env_steps - last_round
                             >= pbt_cfg.period_env_steps):
                         last_round = runner.env_steps
+                        # identical decisions on all ranks: objectives come
+                        # from replicated reductions, host RNG is same-seeded
                         runner.pbt_round()
-                    if time.time() - last_save > args.save_every_sec:
+                    if (time.time() - last_save > args.save_every_sec
+                            and is_main):
                         runner.save(args.train_dir, args.experiment)
                         last_save = time.time()
             finally:
-                runner.save(args.train_dir, args.experiment)
-                logger.close()
+                if is_main:
+                    runner.save(args.train_dir, args.experiment)
+                    logger.close()
             return 0
         runner = PBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg,
                            seed=args.seed, anneal_schedules=anneal,
-                           exp_dir=exp_dir, base_rew_coeff=base_coeff)
+                           exp_dir=exp_dir, base_rew_coeff=base_coeff,
+                           mesh=mesh)
         runner.train(args.train_for_env_steps)
         return 0
 
@@ -140,7 +145,7 @@ def main(argv=None) -> int:
         wandb_kwargs=dict(project=getattr(args, "wandb_project", None),
                           entity=getattr(args, "wandb_user", None),
                           group=getattr(args, "wandb_group", None),
-                          name=args.experiment))
+                          name=args.experiment)) if is_main else None
     if args.debug_checks:
         from quadswarm_tpu.utils.debug import enable_debug_checks
         enable_debug_checks()
@@ -169,8 +174,13 @@ def main(argv=None) -> int:
                       flush=True)
             if it % args.log_every_iters == 0:
                 import jax
+                # Both fetches are multi-host-safe: `metrics` are replicated
+                # scalars; episode stats reduce ON DEVICE to replicated sums
+                # (a collective — every rank participates), so no rank ever
+                # device_gets a mesh-sharded array (non-addressable under
+                # multi-process jax.distributed).
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                m.update(aggregate_episode_stats(jax.device_get(infos)))
+                m.update(trainer.episode_stats(infos))
                 if "true_reward" in m:
                     recent_true_rewards.append(m["true_reward"])
                     recent_true_rewards = recent_true_rewards[-10:]
@@ -178,26 +188,31 @@ def main(argv=None) -> int:
                     if (len(recent_true_rewards) >= 3
                             and objective > best_objective):
                         best_objective = objective
-                        save_checkpoint(cp_dir, trainer.train_state,
-                                        trainer.env_steps, keep=1, tag="best")
+                        if is_main:
+                            save_checkpoint(cp_dir, trainer.train_state,
+                                            trainer.env_steps, keep=1,
+                                            tag="best")
                 now = time.time()
                 # windowed SPS (first window absorbs jit compilation)
                 m["perf/sps"] = ((trainer.env_steps - last_steps)
                                  / max(now - last_t, 1e-9))
                 last_t, last_steps = now, trainer.env_steps
-                logger.log(trainer.env_steps, m)
-                print(f"steps={trainer.env_steps:,} sps={m['perf/sps']:,.0f} "
-                      f"loss={m['loss']:.4f} rew={m['reward_mean']:.4f}",
-                      flush=True)
-            if time.time() - last_save > args.save_every_sec:
+                if is_main:
+                    logger.log(trainer.env_steps, m)
+                    print(f"steps={trainer.env_steps:,} "
+                          f"sps={m['perf/sps']:,.0f} "
+                          f"loss={m['loss']:.4f} rew={m['reward_mean']:.4f}",
+                          flush=True)
+            if (time.time() - last_save > args.save_every_sec and is_main):
                 save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
                 last_save = time.time()
     finally:
         if profiler is not None:
             import jax
             jax.profiler.stop_trace()
-        save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
-        logger.close()
+        if is_main:
+            save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
+            logger.close()
     return 0
 
 

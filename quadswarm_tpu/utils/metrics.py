@@ -33,6 +33,63 @@ _SCENARIO_PREFIXED = {
 }
 
 
+def episode_stat_sums(infos) -> dict:
+    """Jittable episode-stat reduction: masked sums + per-mode one-hot sums.
+
+    Multi-host-safe replacement for `device_get(infos)` +
+    `aggregate_episode_stats`: rollout infos have their env axis sharded over
+    the global mesh, which is non-addressable under multi-process
+    `jax.distributed` — so the reduction runs ON DEVICE (XLA inserts the
+    cross-host psum) and only fully-replicated scalars / (num_modes,) vectors
+    reach the host.  `stats_from_sums` turns the result into the same dict
+    `aggregate_episode_stats` produces.
+
+    Replaces the cross-worker stat aggregation Sample Factory did behind
+    `run_rl` (SURVEY.md §2.2; /root/reference/swarm_rl/train.py:32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    done = infos["episode_done"].astype(jnp.float32)          # [T, E]
+    modes = infos["scenario_mode"].astype(jnp.int32)          # [T, E]
+    onehot = jax.nn.one_hot(modes, len(MODES), dtype=jnp.float32)
+    onehot = onehot * done[..., None]                         # [T, E, M]
+    sums: dict = {"_count": jnp.sum(done),
+                  "_mode_count": jnp.sum(onehot, axis=(0, 1))}
+    for key, val in infos.items():
+        if key in ("episode_done", "scenario_mode") or key.startswith("rewards/"):
+            continue
+        v = val.astype(jnp.float32)
+        if v.ndim == done.ndim + 1:                           # per-agent
+            v = v.mean(axis=-1)
+        sums[key] = jnp.sum(v * done)
+        if key in _SCENARIO_PREFIXED:
+            sums["_mode/" + key] = jnp.sum(v[..., None] * onehot, axis=(0, 1))
+    return sums
+
+
+def stats_from_sums(sums) -> dict[str, float]:
+    """Host-side: turn `episode_stat_sums` output (fetched to numpy) into the
+    flat stat dict, reconstructing the scenario-prefixed copies."""
+    count = float(sums["_count"])
+    if count == 0:
+        return {}
+    mode_count = np.asarray(sums["_mode_count"])
+    out: dict[str, float] = {}
+    for key, val in sums.items():
+        if key.startswith("_"):
+            continue
+        out[key] = float(val) / count
+        base = _SCENARIO_PREFIXED.get(key)
+        if base is not None:
+            mode_sums = np.asarray(sums["_mode/" + key])
+            for mode_id in np.nonzero(mode_count > 0)[0]:
+                out[f"{MODES[int(mode_id)]}/{base}"] = float(
+                    mode_sums[mode_id] / mode_count[mode_id])
+    out["num_episodes"] = count
+    return out
+
+
 def aggregate_episode_stats(infos) -> dict[str, float]:
     """Average episode stats over all (t, env) entries where episode_done.
 

@@ -69,6 +69,38 @@ def test_metrics_aggregation_prefixing():
     assert out["num_episodes"] == 1.0
 
 
+def test_device_stat_reduction_matches_host_aggregation():
+    """episode_stat_sums (the jitted multi-host-safe reduction) +
+    stats_from_sums must reproduce aggregate_episode_stats exactly."""
+    import jax
+    from quadswarm_tpu.utils.metrics import (
+        aggregate_episode_stats, episode_stat_sums, stats_from_sums,
+    )
+    rng = np.random.default_rng(0)
+    t, e, n = 6, 5, 3
+    infos = {
+        "episode_done": rng.random((t, e)) < 0.3,
+        "scenario_mode": rng.integers(0, 4, (t, e)).astype(np.int32),
+        "num_collisions": rng.integers(0, 9, (t, e)).astype(np.float32),
+        "num_collisions_after_settle": rng.integers(0, 5, (t, e)).astype(
+            np.float32),
+        "distance_to_goal_1s": rng.random((t, e, n)).astype(np.float32),
+        "true_reward": rng.normal(size=(t, e, n)).astype(np.float32),
+        "rewards/rew_pos": rng.random((t, e, n)).astype(np.float32),
+        "metric/agent_success_rate": rng.random((t, e)).astype(np.float32),
+    }
+    want = aggregate_episode_stats(infos)
+    got = stats_from_sums(jax.device_get(jax.jit(episode_stat_sums)(infos)))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
+    # no episodes done -> empty dict, both paths
+    infos["episode_done"] = np.zeros((t, e), bool)
+    assert aggregate_episode_stats(infos) == {}
+    assert stats_from_sums(
+        jax.device_get(jax.jit(episode_stat_sums)(infos))) == {}
+
+
 def test_render_frame():
     from quadswarm_tpu.utils.render import render_frame
     pos = np.array([[0.0, 0.0, 2.0], [1.0, 1.0, 3.0]])
