@@ -20,6 +20,29 @@ import jax.numpy as jnp
 EPS = 1e-5
 OMEGA_MAX_SCALE = 20.0 * jnp.pi
 
+# --- parity-test tape injection ---------------------------------------------
+# When set, the response kernels consume these pre-recorded draws instead of
+# deriving them from jax.random — the lockstep parity harness records the
+# reference's global-np.random consumption inside
+# perform_collision_between_drones / perform_collision_with_obstacle
+# (/root/reference/gym_art/quadrotor_multi/collisions/quadrotors.py:36-38,
+# obstacles.py:31-36) and replays the identical values here, making the
+# post-response trajectories comparable tick-for-tick
+# (tests/test_reference_episode_parity.py).  Read at TRACE time: callers must
+# run env_step eagerly (or re-trace) while a tape is set.  Never set in
+# training/bench paths.
+_RESPONSE_TAPE: dict | None = None
+
+
+def set_response_tape(tape: dict | None) -> None:
+    """Install (or clear, with None) the response-randomness tape.  Keys:
+    'drone_normals' (N,3,3,3) + 'drone_uniforms' (N,6) feed
+    drone_collision_response_indexed; 'obst_normals' (N,3,2,3) +
+    'obst_uniforms' (N,5) feed obstacle_collision_response.  Unset keys fall
+    back to jax.random draws."""
+    global _RESPONSE_TAPE
+    _RESPONSE_TAPE = tape
+
 
 def pairwise_distances(pos: jax.Array) -> jax.Array:
     """(N,3) -> (N,N) Euclidean distances (collisions/quadrotors.py:62-91)."""
@@ -112,14 +135,18 @@ def drone_collision_response_indexed(key: jax.Array, pos: jax.Array,
     # (per-attempt fold_ins, separate noise/decay/omega key families) that
     # ran every tick at (E, N) shapes and were pure op-count overhead on TPU
     # (~20% of the whole env step).
-    k_pair = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(key, (n,) + key.shape), pair_id)
-    ks = jax.vmap(lambda k: jax.random.split(k, 2))(k_pair)
-    # normals: 3 attempts x (conserved, small_a, small_b) x 3 components
-    draw = jax.vmap(lambda k: jax.random.normal(k, (3, 3, 3), dtype))(
-        ks[:, 0])
-    # uniforms: decay_a, decay_b, omega direction (3), omega magnitude
-    uni = jax.vmap(lambda k: jax.random.uniform(k, (6,), dtype))(ks[:, 1])
+    if _RESPONSE_TAPE is not None and "drone_normals" in _RESPONSE_TAPE:
+        draw = jnp.asarray(_RESPONSE_TAPE["drone_normals"], dtype)
+        uni = jnp.asarray(_RESPONSE_TAPE["drone_uniforms"], dtype)
+    else:
+        k_pair = jax.vmap(jax.random.fold_in)(
+            jnp.broadcast_to(key, (n,) + key.shape), pair_id)
+        ks = jax.vmap(lambda k: jax.random.split(k, 2))(k_pair)
+        # normals: 3 attempts x (conserved, small_a, small_b) x 3 components
+        draw = jax.vmap(lambda k: jax.random.normal(k, (3, 3, 3), dtype))(
+            ks[:, 0])
+        # uniforms: decay_a, decay_b, omega direction (3), omega magnitude
+        uni = jax.vmap(lambda k: jax.random.uniform(k, (6,), dtype))(ks[:, 1])
 
     # 3-attempt noise resampling vectorized over the attempt axis: pick the
     # first candidate whose post-collision normal velocities separate, else
@@ -144,15 +171,19 @@ def drone_collision_response_indexed(key: jax.Array, pos: jax.Array,
     decay = 0.2 + 0.6 * jnp.where(is_a, uni[:, 0], uni[:, 1])
     vel_hit = vel + shift
     hit_mag = jnp.linalg.norm(vel_hit, axis=-1, keepdims=True)
-    direction = vel_hit / (hit_mag + EPS)
+    # EPS only at exactly-zero magnitude (compute_new_vel, utils.py:11-13 —
+    # the unconditional +EPS form costs ~1e-5 relative direction error,
+    # which the through-response parity test resolves at 1e-8)
+    direction = vel_hit / jnp.where(hit_mag == 0.0, hit_mag + EPS, hit_mag)
     new_speed = jnp.minimum(hit_mag[..., 0] * decay, max_vel)
     new_vel = direction * new_speed[..., None]
 
     # omega kick (collisions/utils.py:21-33): random unit direction scaled
     # by a magnitude in [omega_max/2, omega_max]
     kick_dir = 2.0 * uni[:, 2:5] - 1.0
-    kick_dir = kick_dir / (jnp.linalg.norm(kick_dir, axis=-1,
-                                           keepdims=True) + EPS)
+    kick_mag0 = jnp.linalg.norm(kick_dir, axis=-1, keepdims=True)
+    kick_dir = kick_dir / jnp.where(kick_mag0 == 0.0, kick_mag0 + EPS,
+                                    kick_mag0)
     omega_max = jnp.asarray(20.0 * jnp.pi, dtype)  # magn_scale * pi
     kick_mag = omega_max * (0.5 + 0.5 * uni[:, 5])
     kick = kick_dir * kick_mag[:, None]
@@ -185,8 +216,13 @@ def obstacle_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
     # 3-attempt directional noise (reference loops i in range(3) w/ break),
     # vectorized over the attempt axis with all randomness in two batched
     # calls (see drone_collision_response for why).
-    k_noise, k_uni = jax.random.split(key)
-    draw = jax.random.normal(k_noise, (n, 3, 2, 3), dtype)
+    if _RESPONSE_TAPE is not None and "obst_normals" in _RESPONSE_TAPE:
+        draw = jnp.asarray(_RESPONSE_TAPE["obst_normals"], dtype)
+        uni_tape = jnp.asarray(_RESPONSE_TAPE["obst_uniforms"], dtype)
+    else:
+        k_noise, k_uni = jax.random.split(key)
+        draw = jax.random.normal(k_noise, (n, 3, 2, 3), dtype)
+        uni_tape = None
     cand = 0.1 * draw[:, :, 0] + 0.05 * draw[:, :, 1]      # (N, 3, 3)
     valid = jnp.sum((new_vel[:, None, :] + cand) * coll_norm[:, None, :],
                     axis=-1) > 0
@@ -195,14 +231,16 @@ def obstacle_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
                               dtype=dtype)[..., None]
     noise = jnp.where(jnp.any(valid, axis=1)[:, None],
                       jnp.sum(cand * pick_hot, axis=1), 0.0)
-    uni = jax.random.uniform(k_uni, (n, 5), dtype)
+    uni = (uni_tape if uni_tape is not None
+           else jax.random.uniform(k_uni, (n, 5), dtype))
 
     inside = jnp.linalg.norm(pos - obstacle_pos, axis=-1) < obstacle_size / 2
     shift = new_vel - vel + noise
     decay = 0.2 + 0.6 * uni[:, 0]
     vel_hit = vel + shift
     hit_mag = jnp.linalg.norm(vel_hit, axis=-1, keepdims=True)
-    hdir = vel_hit / (hit_mag + EPS)
+    # conditional EPS — see drone response note (compute_new_vel parity)
+    hdir = vel_hit / jnp.where(hit_mag == 0.0, hit_mag + EPS, hit_mag)
     vel_bounce = hdir * jnp.minimum(hit_mag[..., 0] * decay,
                                     vel_magn[..., 0])[..., None]
     # inside the cylinder: no speed decay (low=high=1.0 in the reference)
@@ -210,8 +248,9 @@ def obstacle_collision_response(key: jax.Array, pos: jax.Array, vel: jax.Array,
                                     vel_magn[..., 0])[..., None]
     vel_new = jnp.where(inside[:, None], vel_inside, vel_bounce)
     kick_dir = 2.0 * uni[:, 1:4] - 1.0
-    kick_dir = kick_dir / (jnp.linalg.norm(kick_dir, axis=-1,
-                                           keepdims=True) + EPS)
+    kick_mag0 = jnp.linalg.norm(kick_dir, axis=-1, keepdims=True)
+    kick_dir = kick_dir / jnp.where(kick_mag0 == 0.0, kick_mag0 + EPS,
+                                    kick_mag0)
     omega_max = jnp.asarray(jnp.pi, dtype)                 # magn_scale=1.0
     omega_new = omega + kick_dir * (omega_max * (0.5 + 0.5 * uni[:, 4]))[:, None]
 

@@ -71,18 +71,22 @@ def vtrace_advantages(ratio: jax.Array, reward: jax.Array, value: jax.Array,
 
 
 def appo_learn(model, ppo_cfg: PPOConfig, train_state, traj: Transition,
-               last_obs: jax.Array, key: jax.Array):
+               last_obs: jax.Array, key: jax.Array, norm_state=None):
     """Learner half: recompute values (and log-probs, for V-trace) under the
     CURRENT params over the stale trajectory, build advantages/targets, run
     minibatch SGD (shared with sync PPO)."""
+    from quadswarm_tpu.parallel.normalize import (
+        denormalize_value, normalize_obs,
+    )
     t_dim, e_dim, n_dim = traj.reward.shape
 
     def learner_forward(obs):
-        mean, log_std, value = apply_fused(
-            model, train_state.params, obs.reshape(-1, obs.shape[-1]))
-        # bf16-safe: V-trace/GAE math in f32
+        obs_flat = normalize_obs(norm_state, obs.reshape(-1, obs.shape[-1]))
+        mean, log_std, value = apply_fused(model, train_state.params, obs_flat)
+        # bf16-safe: V-trace/GAE math in f32; critic output denormalized
+        # into reward space wherever it bootstraps (normalize.py docstring)
         return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
-                value.astype(jnp.float32))
+                denormalize_value(norm_state, value.astype(jnp.float32)))
 
     mean, log_std, values_flat = learner_forward(traj.obs)
     values = values_flat.reshape(t_dim, e_dim, n_dim)
@@ -106,10 +110,16 @@ def appo_learn(model, ppo_cfg: PPOConfig, train_state, traj: Transition,
             learner_traj, jax.lax.stop_gradient(last_value), ppo_cfg.gamma,
             ppo_cfg.gae_lambda)
 
+    if norm_state is not None and norm_state.obs is not None:
+        norm_state = norm_state.replace(obs=norm_state.obs.update(
+            traj.obs.reshape(-1, traj.obs.shape[-1])))
+    if norm_state is not None and norm_state.ret is not None:
+        norm_state = norm_state.replace(ret=norm_state.ret.update(returns))
     train_state, metrics = sgd_epochs(model, ppo_cfg, train_state, traj,
-                                      advantages, returns, key)
+                                      advantages, returns, key,
+                                      norm=norm_state)
     metrics["reward_mean"] = jnp.mean(traj.reward)
-    return train_state, metrics
+    return train_state, metrics, norm_state
 
 
 class APPOTrainer(Trainer):
@@ -148,11 +158,14 @@ class APPOTrainer(Trainer):
         replay_sh = bsh if self.replay_states is not None else rsh
 
         def rollout_fn(behavior_params, env_states, obs, key, rew_coeff,
-                       replay_states):
+                       replay_states, norm_state):
+            # Behavior inference uses the CURRENT normalizer stats (stats
+            # are not part of the lagged param queue — SF likewise shares
+            # one normalizer between actors and learner).
             env_states, next_obs, replay_states, traj, _lv, infos = \
                 collect_rollout(env_cfg, dyn_params, model, ppo_cfg,
                                 behavior_params, env_states, obs, key,
-                                rew_coeff, replay_states)
+                                rew_coeff, replay_states, norm=norm_state)
             return env_states, next_obs, replay_states, traj, infos
 
         # Trajectory arrays are [T, E, ...] — env batch on axis 1.  Pinning
@@ -163,7 +176,7 @@ class APPOTrainer(Trainer):
         tsh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
         self._rollout_fn = jax.jit(
             rollout_fn,
-            in_shardings=(rsh, bsh, bsh, rsh, rsh, replay_sh),
+            in_shardings=(rsh, bsh, bsh, rsh, rsh, replay_sh, rsh),
             out_shardings=(bsh, bsh, replay_sh, tsh, tsh),
             donate_argnums=(1, 2, 5))
         # NOTE on donation: train_state is NOT donated — the behavior queue
@@ -175,7 +188,7 @@ class APPOTrainer(Trainer):
         # are freed by refcount when `traj` drops after the call regardless).
         self._learn_fn = jax.jit(
             functools.partial(appo_learn, model, ppo_cfg),
-            in_shardings=(rsh, tsh, bsh, rsh))
+            in_shardings=(rsh, tsh, bsh, rsh, rsh))
 
     def iteration(self):
         self.key, k_roll, k_learn = jax.random.split(self.key, 3)
@@ -185,9 +198,10 @@ class APPOTrainer(Trainer):
         behavior_params = self._param_queue[0]
         (self.env_states, self.obs, self.replay_states, traj,
          infos) = self._rollout_fn(behavior_params, self.env_states, self.obs,
-                                   k_roll, rew_coeff, self.replay_states)
-        self.train_state, metrics = self._learn_fn(
-            self.train_state, traj, self.obs, k_learn)
+                                   k_roll, rew_coeff, self.replay_states,
+                                   self.norm_state)
+        self.train_state, metrics, self.norm_state = self._learn_fn(
+            self.train_state, traj, self.obs, k_learn, self.norm_state)
         self._param_queue.append(self.train_state.params)
         self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
                            * self.env_cfg.num_agents)

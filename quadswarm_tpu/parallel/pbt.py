@@ -163,4 +163,6 @@ class PBTRunner:
         if self.is_main:
             for p, slot in enumerate(self.policies):
                 save_checkpoint(os.path.join(self.exp_dir, f"checkpoint_p{p}"),
-                                slot.trainer.train_state, slot.trainer.env_steps)
+                                slot.trainer.train_state,
+                                slot.trainer.env_steps,
+                                extra=slot.trainer.norm_state)

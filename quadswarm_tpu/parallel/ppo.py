@@ -35,6 +35,9 @@ from quadswarm_tpu.models.actor_critic import (
     sample_actions,
 )
 from quadswarm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from quadswarm_tpu.parallel.normalize import (
+    NormalizerState, denormalize_value, make_norm_state, normalize_obs,
+)
 
 
 @struct.dataclass
@@ -71,6 +74,11 @@ class PPOConfig:
     # replicating — docs/SCALING.md).  Multi-device training needs
     # device_count | groups.
     sgd_shuffle_groups: int = struct.field(pytree_node=False, default=0)
+    # SF --normalize_input / --normalize_returns (parallel/normalize.py);
+    # every reference baseline sets both False (quad_multi_mix_baseline.py:
+    # 17-18), so defaults match.
+    normalize_input: bool = struct.field(pytree_node=False, default=False)
+    normalize_returns: bool = struct.field(pytree_node=False, default=False)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in
@@ -92,7 +100,7 @@ class Transition(NamedTuple):
 def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
                     ppo_cfg: PPOConfig, policy_params, env_states: EnvState,
                     obs: jax.Array, key: jax.Array, rew_coeff: RewardCoeffs,
-                    replay_states=None):
+                    replay_states=None, norm: NormalizerState | None = None):
     """T-step on-device rollout via lax.scan over the vmapped env step.
 
     Returns (env_states', obs', replay_states', Transition stack [T,...],
@@ -111,9 +119,13 @@ def collect_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     def policy(params, obs_flat):
         # The model may compute in bfloat16 (4x MXU throughput on TPU);
         # cast heads to f32 so action sampling, log-probs and GAE stay exact.
-        mean, log_std, value = apply_fused(model, params, obs_flat)
-        return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
-                value.astype(jnp.float32))
+        # With normalize_input the encoder sees standardized obs; with
+        # normalize_returns the critic predicts in normalized return space,
+        # so the value is denormalized here for GAE/bootstrapping.
+        mean, log_std, value = apply_fused(model, params,
+                                           normalize_obs(norm, obs_flat))
+        value = denormalize_value(norm, value.astype(jnp.float32))
+        return mean.astype(jnp.float32), log_std.astype(jnp.float32), value
 
     def step_fn(carry, step_key):
         env_states, replay_states, obs = carry
@@ -163,13 +175,19 @@ def compute_gae(traj: Transition, last_value, gamma, lam):
     return advantages, returns
 
 
-def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
+def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch,
+             norm: NormalizerState | None = None):
     obs, actions, old_log_prob, old_value, advantages, returns = batch
-    mean, log_std, value = apply_fused(model, params, obs)
+    mean, log_std, value = apply_fused(model, params, normalize_obs(norm, obs))
     # bf16-safe: loss math in f32 regardless of the model compute dtype
     mean = mean.astype(jnp.float32)
     log_std = log_std.astype(jnp.float32)
     value = value.astype(jnp.float32)
+    if norm is not None and norm.ret is not None:
+        # Critic learns normalized returns: `value` (raw head output) is
+        # already in normalized space; move targets + clip anchor there too.
+        returns = norm.ret.normalize(returns, clip=None)
+        old_value = norm.ret.normalize(old_value, clip=None)
     log_prob = gaussian_log_prob(mean, log_std, actions)
     ratio = jnp.exp(log_prob - old_log_prob)
     adv = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-8)
@@ -193,7 +211,8 @@ def ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch):
 def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
                     ppo_cfg: PPOConfig, train_state: TrainState,
                     env_states: EnvState, obs, key, rew_coeff: RewardCoeffs,
-                    replay_states=None):
+                    replay_states=None,
+                    norm_state: NormalizerState | None = None):
     """One APPO-equivalent iteration: rollout T steps, then minibatch SGD.
 
     Fully jittable; under a sharded env batch XLA turns the gradient mean
@@ -202,14 +221,23 @@ def train_iteration(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     k_roll, k_perm = jax.random.split(key)
     env_states, obs, replay_states, traj, last_value, infos = collect_rollout(
         env_cfg, dyn_params, model, ppo_cfg, train_state.params, env_states,
-        obs, k_roll, rew_coeff, replay_states)
+        obs, k_roll, rew_coeff, replay_states, norm=norm_state)
     advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
                                       ppo_cfg.gae_lambda)
+    # Normalizer stats fold in the fresh rollout BEFORE SGD (SF's
+    # learner-side update); GAE above used the rollout-time stats.
+    if norm_state is not None and norm_state.obs is not None:
+        norm_state = norm_state.replace(obs=norm_state.obs.update(
+            traj.obs.reshape(-1, traj.obs.shape[-1])))
+    if norm_state is not None and norm_state.ret is not None:
+        norm_state = norm_state.replace(ret=norm_state.ret.update(returns))
 
     train_state, metrics = sgd_epochs(model, ppo_cfg, train_state, traj,
-                                      advantages, returns, k_perm)
+                                      advantages, returns, k_perm,
+                                      norm=norm_state)
     metrics["reward_mean"] = jnp.mean(traj.reward)
-    return train_state, env_states, obs, replay_states, metrics, infos
+    return (train_state, env_states, obs, replay_states, metrics, infos,
+            norm_state)
 
 
 def shuffled_minibatches(tree, dims: tuple, batch_size: int, key,
@@ -281,7 +309,8 @@ def shuffled_minibatches(tree, dims: tuple, batch_size: int, key,
 
 
 def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
-               traj: Transition, advantages, returns, key):
+               traj: Transition, advantages, returns, key,
+               norm: NormalizerState | None = None):
     """Shuffled minibatch SGD over a flattened [T,E,N] trajectory (the
     learner half of the iteration; shared by sync PPO and APPO)."""
     t_dim, e_dim, n_dim = traj.reward.shape
@@ -298,7 +327,8 @@ def sgd_epochs(model: ActorCritic, ppo_cfg: PPOConfig, train_state: TrainState,
 
         def minibatch(train_state, batch):
             grad_fn = jax.value_and_grad(
-                lambda p: ppo_loss(model, ppo_cfg, p, batch), has_aux=True)
+                lambda p: ppo_loss(model, ppo_cfg, p, batch, norm=norm),
+                has_aux=True)
             (loss, metrics), grads = grad_fn(train_state.params)
             return train_state.apply_gradients(grads=grads), metrics
 
@@ -362,6 +392,9 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.key, k_model, k_env = jax.random.split(key, 3)
         self.train_state = make_train_state(model, ppo_cfg, k_model, env_cfg.obs_dim)
+        self.norm_state = make_norm_state(ppo_cfg.normalize_input,
+                                          ppo_cfg.normalize_returns,
+                                          env_cfg.obs_dim)
 
         env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
         reset_fn = jax.jit(
@@ -370,6 +403,8 @@ class Trainer:
         self.env_states, self.obs = reset_fn(env_keys)
         self.train_state = jax.device_put(self.train_state,
                                           replicated_sharding(self.mesh))
+        self.norm_state = jax.device_put(self.norm_state,
+                                         replicated_sharding(self.mesh))
 
         bsh = batch_sharding(self.mesh)
         rsh = replicated_sharding(self.mesh)
@@ -390,7 +425,7 @@ class Trainer:
         else:
             self.replay_states = None
             replay_sh = rsh  # empty pytree; spec is inert
-        self._shardings = (rsh, bsh, bsh, rsh, rsh, replay_sh)
+        self._shardings = (rsh, bsh, bsh, rsh, rsh, replay_sh, rsh)
         self._build_iter_fn()
         # Collision shaping coefficients.  The training CLI passes the
         # --quads_*_reward flags here (config.base_rew_coeff_from_args,
@@ -404,7 +439,7 @@ class Trainer:
             functools.partial(train_iteration, self.env_cfg, self.dyn_params,
                               self.model, self.ppo_cfg),
             in_shardings=self._shardings,
-            donate_argnums=(0, 1, 2, 5),
+            donate_argnums=(0, 1, 2, 5, 6),
         )
         self._stats_fn = None
 
@@ -441,9 +476,9 @@ class Trainer:
         rew_coeff = jax.tree.map(
             lambda x: jnp.asarray(x, self.env_cfg.dtype), self.current_rew_coeff())
         (self.train_state, self.env_states, self.obs, self.replay_states,
-         metrics, infos) = self._iter_fn(
+         metrics, infos, self.norm_state) = self._iter_fn(
             self.train_state, self.env_states, self.obs, k, rew_coeff,
-            self.replay_states)
+            self.replay_states, self.norm_state)
         self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
                            * self.env_cfg.num_agents)
         return metrics, infos

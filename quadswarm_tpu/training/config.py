@@ -144,8 +144,12 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--adaptive_stddev", default=False, type=str2bool)
     p.add_argument("--max_policy_lag", default=100000000, type=int,
                    help="reference compat: accepted; APPO uses --policy_lag")
-    p.add_argument("--normalize_input", default=False, type=str2bool)
-    p.add_argument("--normalize_returns", default=False, type=str2bool)
+    p.add_argument("--normalize_input", default=False, type=str2bool,
+                   help="running mean-std obs normalization "
+                        "(parallel/normalize.py; baselines set False)")
+    p.add_argument("--normalize_returns", default=False, type=str2bool,
+                   help="critic learns running-normalized returns "
+                        "(parallel/normalize.py; baselines set False)")
     p.add_argument("--save_milestones_sec", default=-1, type=int,
                    help="reference compat: alias for --save_every_sec when set")
     p.add_argument("--learning_rate", default=1e-4, type=float)
@@ -269,9 +273,13 @@ def _resolve_compat_flags(args) -> argparse.Namespace:
     if args.policy_initialization != "xavier_uniform":
         warnings.warn(f"policy_initialization={args.policy_initialization!r} "
                       "ignored; the model uses xavier_uniform")
-    if args.normalize_input or args.normalize_returns:
-        warnings.warn("input/return normalization not implemented; flags "
-                      "ignored (baselines set both to False)")
+    if ((args.normalize_input or args.normalize_returns)
+            and args.with_pbt and args.pbt_mix_policies_in_one_env):
+        raise ValueError("--normalize_input/--normalize_returns are not "
+                         "supported with --pbt_mix_policies_in_one_env "
+                         "(per-policy normalizers over one shared env batch "
+                         "are not implemented; the reference PBT run uses "
+                         "neither)")
     if (args.quads_obstacle_obs_type == "octomap"
             and not args.quads_use_obstacles):
         raise ValueError("--quads_obstacle_obs_type=octomap requires "
@@ -403,6 +411,8 @@ def ppo_config_from_args(args) -> "PPOConfig":
         sgd_unroll=getattr(args, "sgd_unroll", 8),
         num_envs=args.num_envs,
         replay_sample_prob=args.replay_buffer_sample_prob,
+        normalize_input=args.normalize_input,
+        normalize_returns=args.normalize_returns,
         with_vtrace=getattr(args, "with_vtrace", False),
         vtrace_rho=getattr(args, "vtrace_rho", 1.0),
         vtrace_c=getattr(args, "vtrace_c", 1.0),

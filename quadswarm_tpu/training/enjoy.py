@@ -47,19 +47,36 @@ def run_eval(args) -> dict:
             print("WARNING: no best_* checkpoint found, falling back to latest")
     if cp is None:
         cp = latest_checkpoint(cp_dir)
+    obs_norm = None
     if cp is not None:
         from flax import serialization
         payload = load_checkpoint(cp)
         params = serialization.from_state_dict(params, payload["params"])
+        # Runs trained with --normalize_input store the running obs stats in
+        # the checkpoint's extra payload; the eval policy must standardize
+        # the same way or the encoder sees out-of-distribution inputs.
+        extra = payload.get("extra") or {}
+        if isinstance(extra, dict) and extra.get("obs"):
+            from quadswarm_tpu.parallel.normalize import RunningMeanStd
+            o = extra["obs"]
+            obs_norm = RunningMeanStd(mean=jnp.asarray(o["mean"]),
+                                      var=jnp.asarray(o["var"]),
+                                      count=jnp.asarray(o["count"]))
+            print("input normalization active (stats from checkpoint)")
         print(f"loaded {cp}")
     else:
         print("WARNING: no checkpoint found, using random init")
 
+    def apply_model(p, o_flat):
+        return model.apply(
+            p, obs_norm.normalize(o_flat) if obs_norm is not None else o_flat)
+
     if getattr(args, "eval_envs", 1) > 1:
-        return _run_eval_batched(args, env_cfg, model, dyn, params, key)
+        return _run_eval_batched(args, env_cfg, model, dyn, params, key,
+                                 apply_model)
 
     step = jax.jit(lambda s, a, k: env_step(env_cfg, dyn, s, a, k))
-    policy = jax.jit(lambda p, o: model.apply(p, o)[0])  # deterministic mean
+    policy = jax.jit(lambda p, o: apply_model(p, o)[0])  # deterministic mean
     viz_v = getattr(args, "visualize_v_value", False)
 
     episode_stats = []
@@ -102,6 +119,10 @@ def run_eval(args) -> dict:
                          if not k.startswith("rewards/")}
                 stats["episode_reward"] = float(ep_reward.mean())
                 episode_stats.append(stats)
+        if live is not None:
+            mp4 = live.close()
+            print(f"live stream -> {live.out_dir}"
+                  + (f" ({os.path.basename(mp4)} written)" if mp4 else ""))
         print(f"episode {ep}: reward={episode_stats[-1]['episode_reward']:.2f} "
               f"collisions={episode_stats[-1]['num_collisions']:.0f}")
         out_dir = os.path.join(args.render_out, f"ep{ep:03d}")
@@ -161,7 +182,8 @@ def run_eval(args) -> dict:
     return agg
 
 
-def _run_eval_batched(args, env_cfg, model, dyn, params, key) -> dict:
+def _run_eval_batched(args, env_cfg, model, dyn, params, key,
+                      apply_model=None) -> dict:
     """Many-episode eval without per-tick host sync: `--eval_envs` envs run
     under one jitted lax.scan per round (episodes are fixed-length, so a
     round of ep_len ticks from reset yields eval_envs complete episodes),
@@ -177,6 +199,8 @@ def _run_eval_batched(args, env_cfg, model, dyn, params, key) -> dict:
 
     from quadswarm_tpu.env.multi import batched_env_step, env_reset
 
+    if apply_model is None:
+        apply_model = model.apply
     e = args.eval_envs
     rounds = max(1, -(-args.max_num_episodes // e))  # ceil
     ep_len = env_cfg.ep_len + 1  # done fires at tick ep_len + 1 (env_step)
@@ -190,7 +214,7 @@ def _run_eval_batched(args, env_cfg, model, dyn, params, key) -> dict:
         def tick(carry, k):
             states, obs, rew_sum = carry
             n = env_cfg.num_agents
-            mean, _, _ = model.apply(params, obs.reshape(e * n, -1))
+            mean, _, _ = apply_model(params, obs.reshape(e * n, -1))
             actions = mean.astype(env_cfg.dtype).reshape(e, n, -1)
             states, obs, rew, dones, info = batched_env_step(
                 env_cfg, dyn, states, actions, jax.random.split(k, e))
@@ -202,7 +226,7 @@ def _run_eval_batched(args, env_cfg, model, dyn, params, key) -> dict:
         carry, _ = jax.lax.scan(tick, carry, tick_keys[:-1])
         states, obs, rew_sum = carry
         n = env_cfg.num_agents
-        mean, _, _ = model.apply(params, obs.reshape(e * n, -1))
+        mean, _, _ = apply_model(params, obs.reshape(e * n, -1))
         actions = mean.astype(env_cfg.dtype).reshape(e, n, -1)
         _, _, rew, dones, info = batched_env_step(
             env_cfg, dyn, states, actions, jax.random.split(tick_keys[-1], e))

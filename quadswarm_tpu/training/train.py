@@ -136,8 +136,9 @@ def main(argv=None) -> int:
     cp_dir = checkpoint_dir(args.train_dir, args.experiment)
     cp = latest_checkpoint(cp_dir)
     if cp is not None:
-        trainer.train_state, trainer.env_steps = load_checkpoint(
-            cp, trainer.train_state)
+        (trainer.train_state, trainer.env_steps,
+         trainer.norm_state) = load_checkpoint(
+            cp, trainer.train_state, extra=trainer.norm_state)
         print(f"resumed from {cp} at {trainer.env_steps} env steps")
 
     logger = MetricLogger(
@@ -191,7 +192,8 @@ def main(argv=None) -> int:
                         if is_main:
                             save_checkpoint(cp_dir, trainer.train_state,
                                             trainer.env_steps, keep=1,
-                                            tag="best")
+                                            tag="best",
+                                            extra=trainer.norm_state)
                 now = time.time()
                 # windowed SPS (first window absorbs jit compilation)
                 m["perf/sps"] = ((trainer.env_steps - last_steps)
@@ -204,14 +206,16 @@ def main(argv=None) -> int:
                           f"loss={m['loss']:.4f} rew={m['reward_mean']:.4f}",
                           flush=True)
             if (time.time() - last_save > args.save_every_sec and is_main):
-                save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
+                save_checkpoint(cp_dir, trainer.train_state,
+                                trainer.env_steps, extra=trainer.norm_state)
                 last_save = time.time()
     finally:
         if profiler is not None:
             import jax
             jax.profiler.stop_trace()
         if is_main:
-            save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps)
+            save_checkpoint(cp_dir, trainer.train_state, trainer.env_steps,
+                            extra=trainer.norm_state)
             logger.close()
     return 0
 

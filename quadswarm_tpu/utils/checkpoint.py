@@ -20,7 +20,10 @@ def checkpoint_dir(train_dir: str, experiment: str, policy_id: int = 0) -> str:
 
 
 def save_checkpoint(path_dir: str, train_state, env_steps: int,
-                    keep: int = 3, tag: str = "checkpoint") -> str:
+                    keep: int = 3, tag: str = "checkpoint",
+                    extra=None) -> str:
+    """`extra` is an optional auxiliary pytree saved alongside the train
+    state (e.g. the input/return NormalizerState) so resume is exact."""
     os.makedirs(path_dir, exist_ok=True)
     payload = {
         "params": serialization.to_state_dict(jax.device_get(train_state.params)),
@@ -29,6 +32,8 @@ def save_checkpoint(path_dir: str, train_state, env_steps: int,
         "step": int(train_state.step),
         "env_steps": int(env_steps),
     }
+    if extra is not None:
+        payload["extra"] = serialization.to_state_dict(jax.device_get(extra))
     path = os.path.join(path_dir, f"{tag}_{env_steps:012d}.msgpack")
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
@@ -42,8 +47,10 @@ def get_checkpoints(path_dir: str, tag: str = "checkpoint") -> list[str]:
     return sorted(glob.glob(os.path.join(path_dir, f"{tag}_*.msgpack")))
 
 
-def load_checkpoint(path: str, train_state=None):
-    """Return the raw payload dict; if `train_state` given, restore into it."""
+def load_checkpoint(path: str, train_state=None, extra=None):
+    """Return the raw payload dict; if `train_state` given, restore into it.
+    With `extra` (a template pytree), also restore and return the auxiliary
+    state saved by save_checkpoint(extra=...) — 3-tuple return."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     if train_state is None:
@@ -54,6 +61,10 @@ def load_checkpoint(path: str, train_state=None):
                                                 payload["opt_state"]),
         step=payload["step"],
     )
+    if extra is not None:
+        extra_restored = (serialization.from_state_dict(extra, payload["extra"])
+                          if "extra" in payload else extra)
+        return restored, payload["env_steps"], extra_restored
     return restored, payload["env_steps"]
 
 

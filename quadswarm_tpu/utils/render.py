@@ -84,14 +84,18 @@ def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
 
     `v_map` (2D array) appends a critic-value heatmap panel beside the env
     views — the live side-panel of the reference's V_ValueMapWrapper.render
-    (swarm_rl/env_wrappers/v_value_map.py:28-37)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    (swarm_rl/env_wrappers/v_value_map.py:28-37).
+
+    Renders on a private offscreen Agg canvas (matplotlib.figure.Figure, not
+    pyplot), so it never switches the global backend — a LiveRenderer's
+    interactive TkAgg window keeps working while frames render."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     n_views = len(views)
     n_panels = n_views + (1 if v_map is not None else 0)
-    fig = plt.figure(figsize=(figsize_per_view * n_panels, figsize_per_view))
+    fig = Figure(figsize=(figsize_per_view * n_panels, figsize_per_view))
+    canvas = FigureCanvasAgg(fig)
     for vi, view in enumerate(views):
         ax = fig.add_subplot(1, n_panels, vi + 1, projection="3d")
         _set_view(ax, view, pos.mean(axis=0), room_dims)
@@ -121,10 +125,42 @@ def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
         ax.plot(0.0, 0.0, marker="o", color="w", markersize=4)
         ax.set_title("V(s) around drone 0", fontsize=8)
     fig.tight_layout()
-    fig.canvas.draw()
-    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
-    plt.close(fig)
+    canvas.draw()
+    buf = np.asarray(canvas.buffer_rgba())[..., :3].copy()
     return buf
+
+
+def _write_mp4(frames, path: str, fps: int = 10) -> bool:
+    """Encode an iterable of RGB frames (uint8 or float) to mp4 via
+    matplotlib's FFMpegWriter on an offscreen canvas.  Returns False (and
+    writes nothing) when ffmpeg is unavailable or the iterable is empty."""
+    import matplotlib.animation as anim
+
+    if not anim.FFMpegWriter.isAvailable():
+        return False
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    it = iter(frames)
+    try:
+        f0 = next(it)
+    except StopIteration:
+        return False
+    fig = Figure(figsize=(f0.shape[1] / 100, f0.shape[0] / 100), dpi=100)
+    FigureCanvasAgg(fig)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.axis("off")
+    im = ax.imshow(f0)
+    writer = anim.FFMpegWriter(fps=fps)
+    try:
+        with writer.saving(fig, path, dpi=100):
+            writer.grab_frame()
+            for f in it:
+                im.set_data(f)
+                writer.grab_frame()
+    except Exception:
+        return False
+    return True
 
 
 def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
@@ -137,6 +173,8 @@ def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
 
     `v_maps`, a dict {tick: 2D array}, appends the per-tick critic-value
     heatmap panel (see render_frame)."""
+    from matplotlib import image as mpimg
+
     os.makedirs(out_dir, exist_ok=True)
     pos, goals, cols = recorder.arrays()
     paths = []
@@ -149,29 +187,11 @@ def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
                              v_map=None if v_maps is None else v_maps.get(t),
                              v_extent=v_extent)
         path = os.path.join(out_dir, f"frame_{t:05d}.png")
-        import matplotlib.pyplot as plt
-        plt.imsave(path, frame)
+        mpimg.imsave(path, frame)
         paths.append(path)
         frames.append(frame)
     if save_mp4 and len(frames) > 1:
-        try:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.animation as anim
-            import matplotlib.pyplot as plt
-            fig = plt.figure(figsize=(frames[0].shape[1] / 100,
-                                      frames[0].shape[0] / 100), dpi=100)
-            ax = fig.add_axes([0, 0, 1, 1])
-            ax.axis("off")
-            im = ax.imshow(frames[0])
-            writer = anim.FFMpegWriter(fps=10)
-            with writer.saving(fig, os.path.join(out_dir, "rollout.mp4"), dpi=100):
-                for f in frames:
-                    im.set_data(f)
-                    writer.grab_frame()
-            plt.close(fig)
-        except Exception:
-            pass  # no ffmpeg — PNG frames remain
+        _write_mp4(frames, os.path.join(out_dir, "rollout.mp4"), fps=10)
     return paths
 
 
@@ -185,9 +205,10 @@ class LiveRenderer:
     cameras and collision flashes.  Headless (the normal case on a TPU
     host), frames stream to `out_dir/live/frame_XXXXX.png` AS THEY ARE
     PRODUCED (plus `latest.png`, atomically swapped, so a file watcher or
-    `watch -n1` sees the run progressing), and `close()` assembles the mp4.
-    `realtime=True` paces updates to wall-clock sim time like the
-    reference's render_speed=1.0.
+    `watch -n1` sees the run progressing), and `close()` assembles
+    `live.mp4` by re-reading the streamed PNGs — memory stays O(1) in
+    episode length.  `realtime=True` paces updates to wall-clock sim time
+    like the reference's render_speed=1.0.
     """
 
     def __init__(self, room_dims=(10.0, 10.0, 10.0),
@@ -206,7 +227,7 @@ class LiveRenderer:
         self.obst_size = obst_size
         self.viz_traces = viz_traces
         self._trace: list = []
-        self._frames: list = []
+        self._frame_paths: list[str] = []
         self._last_wall = None
         self.out_dir = out_dir
         self.interactive = bool(os.environ.get("DISPLAY"))
@@ -245,7 +266,6 @@ class LiveRenderer:
                              trace=np.asarray(self._trace),
                              obstacles=self.obstacles,
                              obst_size=self.obst_size)
-        self._frames.append(frame)
         if self.interactive:
             plt = self._plt
             if self._im is None:
@@ -261,43 +281,32 @@ class LiveRenderer:
             self._fig.canvas.draw_idle()
             plt.pause(0.001)
         if self.out_dir is not None:
-            import matplotlib.pyplot as plt
+            from matplotlib import image as mpimg
             path = os.path.join(self.out_dir, f"frame_{tick:05d}.png")
-            plt.imsave(path, frame)
+            mpimg.imsave(path, frame)
+            self._frame_paths.append(path)
             tmp = os.path.join(self.out_dir, ".latest.tmp.png")
-            plt.imsave(tmp, frame)
+            mpimg.imsave(tmp, frame)
             os.replace(tmp, os.path.join(self.out_dir, "latest.png"))
 
-    def close(self) -> None:
-        """Finalize: assemble the streamed frames into an mp4 (best effort)."""
+    def close(self) -> str | None:
+        """Finalize: assemble the streamed PNGs into `live.mp4` (best
+        effort; the PNG stream remains either way).  Returns the mp4 path
+        when written."""
         if self.interactive:
             try:
                 self._plt.ioff()
             except Exception:
                 pass
-        if self.out_dir is None or len(self._frames) < 2:
-            return
-        try:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.animation as anim
-            import matplotlib.pyplot as plt
-            f0 = self._frames[0]
-            fig = plt.figure(figsize=(f0.shape[1] / 100, f0.shape[0] / 100),
-                             dpi=100)
-            ax = fig.add_axes([0, 0, 1, 1])
-            ax.axis("off")
-            im = ax.imshow(f0)
-            writer = anim.FFMpegWriter(fps=max(1, round(
-                1.0 / (self.control_dt * self.every_nth))))
-            with writer.saving(fig, os.path.join(self.out_dir, "live.mp4"),
-                               dpi=100):
-                for f in self._frames:
-                    im.set_data(f)
-                    writer.grab_frame()
-            plt.close(fig)
-        except Exception:
-            pass  # no ffmpeg — the PNG stream remains
+        if self.out_dir is None or len(self._frame_paths) < 2:
+            return None
+        from matplotlib import image as mpimg
+
+        mp4 = os.path.join(self.out_dir, "live.mp4")
+        fps = max(1, round(1.0 / (self.control_dt * self.every_nth)))
+        ok = _write_mp4((mpimg.imread(p) for p in self._frame_paths),
+                        mp4, fps=fps)
+        return mp4 if ok else None
 
 
 def v_value_map(model, params, obs_template: np.ndarray, drone_xy: np.ndarray,

@@ -8,19 +8,20 @@ reward -> collision detection -> collision rewards -> scenario -> obs.
 
 Noise is removed identically on both sides (sense_noise bypassed, OU thrust
 noise ratio = 0), initial states are injected, and both sims consume the
-same action tape.  Everything left is deterministic EXCEPT the randomized
-collision-response velocities, so:
-  * free flight is compared tick-for-tick (pos/vel/obs/reward) at 1e-8;
-  * the collision episode is compared tick-for-tick UP TO the collision
-    tick, and at that tick the collision masks/counters/rewards must agree
-    (the post-response trajectories legitimately diverge — each side draws
-    its own response noise; response-law parity is covered by
-    test_reference_kernels.py).
+same action tape.  The one remaining RNG — the randomized collision-response
+velocities, drawn from GLOBAL np.random in the reference
+(collisions/quadrotors.py:36-38, obstacles.py:31-36) — is handled by a
+RECORD/REPLAY tape: the harness wraps np.random.normal/uniform around the
+reference step, parses the recorded draws into the layout our batched
+response kernels consume, and injects them via
+env.collisions.set_response_tape.  Free-flight, collision, and obstacle
+episodes are therefore compared tick-for-tick (pos/vel/omega/obs/reward)
+THROUGH and PAST the collision events at 1e-8 — BASELINE.md's seed-matched
+bar with no event-tick exclusions.
 
 Both sides build obs from POST-response state (the reference re-collects
 `state_vector` after applying interaction forces — `self_state_update_flag`,
-quadrotor_multi.py:548-600); obs are still only compared on no-event ticks
-because the response velocity noise is per-sim RNG (docs/PARITY.md).
+quadrotor_multi.py:548-600), so obs match on event ticks too.
 """
 from __future__ import annotations
 
@@ -131,8 +132,65 @@ def _inject_ref_obstacles(env, state):
         obst_size=jnp.asarray(float(env.obst_size), jnp.float64))
 
 
+OMEGA_MAX_DRONE = 20.0 * np.pi   # compute_new_omega magn_scale=20 (utils.py:22)
+OMEGA_MAX_OBST = np.pi           # perform_collision_with_obstacle magn_scale=1
+
+
+def _drone_tape(records, env, n):
+    """Parse ONE reference drone-drone response's np.random record stream
+    (perform_collision_between_drones, collisions/quadrotors.py:23-59) into
+    the (N,3,3,3)/(N,6) arrays drone_collision_response_indexed consumes.
+    The reference stops drawing attempts at the first separating candidate;
+    unrecorded attempts stay zero (never selected — argmax picks the same
+    first-valid index on both sides)."""
+    normals = [r for r in records if r[0] == "normal"]
+    unis = [r for r in records if r[0] == "uniform"]
+    assert len(normals) in (3, 6, 9), [r[:4] for r in records]
+    assert len(unis) == 4, [r[:4] for r in records]
+    pairs = np.asarray(env.prev_drone_collisions, int)
+    assert pairs.shape[0] == 1, f"expected one colliding pair, got {pairs}"
+    pair = tuple(pairs[0])
+    draw = np.zeros((n, 3, 3, 3))
+    for k in range(len(normals) // 3):
+        cons = np.asarray(normals[3 * k][4]) / 0.8
+        n_a = np.asarray(normals[3 * k + 1][4]) / 0.15
+        n_b = np.asarray(normals[3 * k + 2][4]) / 0.15
+        for d in pair:
+            draw[d, k] = [cons, n_a, n_b]
+    uni = np.zeros((n, 6))
+    for d in pair:
+        uni[d, 0] = (unis[0][4] - 0.2) / 0.6          # decay vel1 (drone a)
+        uni[d, 1] = (unis[1][4] - 0.2) / 0.6          # decay vel2 (drone b)
+        uni[d, 2:5] = (np.asarray(unis[2][4]) + 1.0) / 2.0   # omega dir
+        uni[d, 5] = (unis[3][4] / OMEGA_MAX_DRONE - 0.5) / 0.5
+    return {"drone_normals": draw, "drone_uniforms": uni}
+
+
+def _obst_tape(records, env, n):
+    """Parse ONE reference obstacle response (perform_collision_with_obstacle,
+    collisions/obstacles.py:23-50) into obstacle_collision_response's
+    (N,3,2,3)/(N,5) tape arrays."""
+    normals = [r for r in records if r[0] == "normal"]
+    unis = [r for r in records if r[0] == "uniform"]
+    assert len(normals) in (2, 4, 6), [r[:4] for r in records]
+    assert len(unis) == 3, [r[:4] for r in records]
+    hit = np.asarray(env.curr_quad_col, int)
+    assert hit.shape[0] == 1, f"expected one hit drone, got {hit}"
+    d = int(hit[0])
+    draw = np.zeros((n, 3, 2, 3))
+    for k in range(len(normals) // 2):
+        draw[d, k, 0] = np.asarray(normals[2 * k][4]) / 0.1
+        draw[d, k, 1] = np.asarray(normals[2 * k + 1][4]) / 0.05
+    uni = np.zeros((n, 5))
+    uni[d, 0] = (unis[0][4] - 0.2) / 0.6              # decay (1.0 if inside)
+    uni[d, 1:4] = (np.asarray(unis[1][4]) + 1.0) / 2.0
+    uni[d, 4] = (unis[2][4] / OMEGA_MAX_OBST - 0.5) / 0.5
+    return {"obst_normals": draw, "obst_uniforms": uni}
+
+
 def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False,
              stop_on_obst_collision=False, zero_uniform_noise=False,
+             replay_response_rng=False, post_event_ticks=0, tape_builder=None,
              **over):
     """Step both sims from injected initial states with a shared action tape.
     Returns the per-tick comparison records.
@@ -198,15 +256,62 @@ def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False,
     if zero_uniform_noise:
         np.random.uniform = mid_np_uniform
         jax.random.uniform = mid_jax_uniform
+
+    from quadswarm_tpu.env import collisions as coll_mod
+
+    def recorded_ref_step(acts):
+        """Reference step with np.random.normal/uniform RECORDED — the only
+        global-RNG consumers in these configs are the collision responses
+        (OU noise ratio 0, sense noise off, static scenario)."""
+        rec: list = []
+        on, ou = np.random.normal, np.random.uniform
+
+        def rn(loc=0.0, scale=1.0, size=None):
+            v = on(loc, scale, size)
+            rec.append(("normal", loc, scale, size, v))
+            return v
+
+        def ru(low=0.0, high=1.0, size=None):
+            v = ou(low, high, size)
+            rec.append(("uniform", low, high, size, v))
+            return v
+
+        np.random.normal, np.random.uniform = rn, ru
+        try:
+            out = env.step([np.asarray(a, float) for a in acts])
+        finally:
+            np.random.normal, np.random.uniform = on, ou
+        return out, rec
+
     try:
         records = []
+        event_tick = None
         for t in range(n_ticks):
             acts = action_fn(t)
-            ref_obs, ref_rew, ref_done, ref_info = env.step(
-                [np.asarray(a, float) for a in acts])
-            state, obs, rew, dones, info = step(
-                state, jnp.asarray(acts, jnp.float64),
-                jax.random.fold_in(key, t))
+            if replay_response_rng:
+                (ref_obs, ref_rew, ref_done, ref_info), rng_rec = \
+                    recorded_ref_step(acts)
+                tape = tape_builder(rng_rec, env, n) if rng_rec else None
+                if tape is not None:
+                    # fresh jit: tape values embed as constants at trace
+                    coll_mod.set_response_tape(tape)
+                    try:
+                        state, obs, rew, dones, info = jax.jit(
+                            partial(env_step, cfg, params, auto_reset=False))(
+                            state, jnp.asarray(acts, jnp.float64),
+                            jax.random.fold_in(key, t))
+                    finally:
+                        coll_mod.set_response_tape(None)
+                else:
+                    state, obs, rew, dones, info = step(
+                        state, jnp.asarray(acts, jnp.float64),
+                        jax.random.fold_in(key, t))
+            else:
+                ref_obs, ref_rew, ref_done, ref_info = env.step(
+                    [np.asarray(a, float) for a in acts])
+                state, obs, rew, dones, info = step(
+                    state, jnp.asarray(acts, jnp.float64),
+                    jax.random.fold_in(key, t))
             rec = dict(
                 t=t,
                 ref_pos=np.asarray([e.dynamics.pos for e in env.envs]),
@@ -225,10 +330,12 @@ def lockstep(qm, poss, vels, n_ticks, action_fn, stop_on_collision=False,
                     info["num_collisions_obst_quad"]).reshape(-1)[0]),
             )
             records.append(rec)
-            if stop_on_collision and env.collisions_per_episode > 0:
-                break
-            if (stop_on_obst_collision
-                    and env.obst_quad_collisions_per_episode > 0):
+            hit = ((stop_on_collision and env.collisions_per_episode > 0)
+                   or (stop_on_obst_collision
+                       and env.obst_quad_collisions_per_episode > 0))
+            if hit and event_tick is None:
+                event_tick = t
+            if event_tick is not None and t >= event_tick + post_event_ticks:
                 break
     finally:
         np.random.uniform = np_uniform
@@ -263,33 +370,39 @@ def test_free_flight_episode_matches_reference(ref_multi):
         assert r["our_colls"] == r["ref_colls"] == 0
 
 
-def test_collision_episode_matches_reference(ref_multi):
-    """Head-on approach: identical trajectories up to the collision tick,
-    identical collision masks/counters/rewards AT the collision tick
-    (response draws are per-sim random — post-collision states diverge by
-    design; see module docstring)."""
+def test_collision_episode_matches_reference_through_response(ref_multi):
+    """Head-on approach compared tick-for-tick THROUGH and PAST the collision:
+    the reference's response np.random draws (perform_collision_between_drones)
+    are recorded and replayed into our response kernel, so pos/vel/omega/obs/
+    reward must match on every tick — including the collision tick (obs are
+    rebuilt from post-response state on both sides) and 15 ticks after it
+    (VERDICT r3 #4: the last asterisk on BASELINE.md's seed-matched bar)."""
     hover = np.zeros((2, 4))
+    post = 15
     recs = lockstep(ref_multi,
                     poss=[[-0.15, 0.0, 2.0], [0.15, 0.0, 2.0]],
                     vels=[[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]],
                     n_ticks=40, action_fn=lambda t: hover,
-                    stop_on_collision=True)
+                    stop_on_collision=True, replay_response_rng=True,
+                    post_event_ticks=post, tape_builder=_drone_tape)
     assert recs[-1]["ref_colls"] == 1, "episode must contain a collision"
     assert recs[-1]["our_colls"] == 1, "our env must flag the same collision"
-    # identical up to (excluding) the collision tick
-    for r in recs[:-1]:
+    assert len(recs) >= post, "must have compared past the event"
+    assert min(r["ref_pos"][:, 2].min() for r in recs) > 0.06, \
+        "post-response drones must stay off the floor (floor RNG not taped)"
+    for r in recs:
         t = r["t"]
         np.testing.assert_allclose(r["our_pos"], r["ref_pos"], atol=1e-8,
                                    err_msg=f"pos tick {t}")
         np.testing.assert_allclose(r["our_vel"], r["ref_vel"], atol=1e-8,
                                    err_msg=f"vel tick {t}")
+        np.testing.assert_allclose(r["our_omega"], r["ref_omega"], atol=1e-7,
+                                   err_msg=f"omega tick {t}")
+        np.testing.assert_allclose(r["our_obs"], r["ref_obs"], atol=1e-6,
+                                   err_msg=f"obs tick {t}")
         np.testing.assert_allclose(r["our_rew"], r["ref_rew"], atol=1e-8,
                                    err_msg=f"rew tick {t}")
-    # at the collision tick: positions (pre-response) and rewards (include
-    # the -quadcol_bin hit and the proximity penalty) still match
-    last = recs[-1]
-    np.testing.assert_allclose(last["our_pos"], last["ref_pos"], atol=1e-8)
-    np.testing.assert_allclose(last["our_rew"], last["ref_rew"], atol=1e-8)
+        assert r["our_colls"] == r["ref_colls"]
 
 
 def test_obstacle_episode_matches_reference(ref_multi):
@@ -318,30 +431,33 @@ def test_obstacle_episode_matches_reference(ref_multi):
 
     rng = np.random.default_rng(3)
     tape = rng.uniform(-0.05, 0.25, size=(150, 2, 4))
+    post = 12
     recs = lockstep(ref_multi, poss, vels=[[1.5, 0.0, 0.0], [0.0, 0.0, 0.0]],
                     n_ticks=150, action_fn=lambda t: tape[t],
                     stop_on_obst_collision=True,
+                    replay_response_rng=True, post_event_ticks=post,
+                    tape_builder=_obst_tape,
                     use_obstacles=True, quads_mode="o_static_same_goal")
-    assert recs[-1]["ref_obst_colls"] == 1, "episode must hit an obstacle"
-    assert recs[-1]["our_obst_colls"] == 1, "our env must flag the same hit"
-    assert recs[-1]["t"] > 10, "approach must take >10 ticks to be meaningful"
-    for r in recs[:-1]:
+    assert recs[-1]["ref_obst_colls"] >= 1, "episode must hit an obstacle"
+    assert recs[-1]["our_obst_colls"] == recs[-1]["ref_obst_colls"], \
+        "our env must flag the same hit(s)"
+    hit_tick = next(r["t"] for r in recs if r["ref_obst_colls"] > 0)
+    assert hit_tick > 10, "approach must take >10 ticks to be meaningful"
+    assert recs[-1]["t"] >= hit_tick + post, "must have compared past the hit"
+    for r in recs:
         t = r["t"]
         np.testing.assert_allclose(r["our_pos"], r["ref_pos"], atol=1e-8,
                                    err_msg=f"pos tick {t}")
         np.testing.assert_allclose(r["our_vel"], r["ref_vel"], atol=1e-8,
                                    err_msg=f"vel tick {t}")
-        # obs include the 9-point SDF patch — compared every no-event tick
-        np.testing.assert_allclose(r["our_obs"], r["ref_obs"], atol=1e-7,
+        np.testing.assert_allclose(r["our_omega"], r["ref_omega"], atol=1e-7,
+                                   err_msg=f"omega tick {t}")
+        # obs include the 9-point SDF patch — compared on EVERY tick,
+        # including the hit tick and the post-response aftermath
+        np.testing.assert_allclose(r["our_obs"], r["ref_obs"], atol=1e-6,
                                    err_msg=f"obs tick {t}")
         np.testing.assert_allclose(r["our_rew"], r["ref_rew"], atol=1e-8,
                                    err_msg=f"rew tick {t}")
-    # at the hit tick: positions (pre-response) and the obstacle-collision
-    # reward (-quadcol_bin_obst on the hit drone) match; post-response state
-    # diverges by design (per-sim response noise)
-    last = recs[-1]
-    np.testing.assert_allclose(last["our_pos"], last["ref_pos"], atol=1e-8)
-    np.testing.assert_allclose(last["our_rew"], last["ref_rew"], atol=1e-8)
 
 
 def test_downwash_episode_matches_reference(ref_multi):
