@@ -353,13 +353,17 @@ def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
 
     # Scenario (mode sampled from the mix list; single-element list otherwise;
     # an explicit `mode` override is provided for tests and curricula)
+    # allowed_modes sizes the presampled event table; an explicit mode
+    # override can be outside the config's mode list, so size for all modes.
+    table_modes = cfg.mode_list() if mode is None else None
     if mode is None:
         mode_list = jnp.asarray(cfg.mode_list(), jnp.int32)
         mode = mode_list[jax.random.randint(keys[1], (), 0, len(cfg.mode_list()))]
     else:
         mode = jnp.asarray(mode, jnp.int32)
     scen = scenario_reset(cfg.scenario_config(), keys[2], mode,
-                          obst_active, centers, dtype)
+                          obst_active, centers, dtype,
+                          allowed_modes=table_modes)
 
     pos, vel, rot, omega = _sample_spawn(cfg, keys[3], scen.spawn_points)
     dyn = init_state((n,), dtype).replace(pos=pos, vel=vel, rot=rot, omega=omega)
@@ -623,11 +627,13 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     n_cells = cfg.num_obstacle_cells
     centers = state.obst_pos[:, :2]
     if scen_override is not None:
-        # batched_env_step already advanced all envs' scenarios with event
-        # compaction (batched_scenario_step); keys[6] is left unconsumed —
-        # the batched path re-derives the identical per-env key from it.
+        # batched_env_step already advanced all envs' scenarios (fused fast
+        # phase + presampled event-table playback, batched_scenario_step).
         scen = scen_override
     else:
+        # Scenario randomness is self-derived from scenario.scen_key
+        # (fold_in by tick); the keys[6] argument is ignored by design so
+        # the batched table playback can reproduce event keys at reset.
         scen = scenario_step(cfg.scenario_config(), state.scenario, tick,
                              keys[6], state.obst_active, centers,
                              allowed_modes=cfg.mode_list())
@@ -799,18 +805,16 @@ def _batched_deferred_obs(cfg: EnvConfig, new_states: EnvState,
 
 
 def _batched_scenario(cfg: EnvConfig, states: EnvState, keys: jax.Array):
-    """Advance all envs' scenarios with event compaction (the expensive
-    teleport/swap/resample branches run on a small gathered subset — see
-    scenarios.batched_scenario_step).  Re-derives the exact per-env key
-    env_step would use (keys[6] of its 10-way split)."""
+    """Advance all envs' scenarios: fused continuous motion + presampled
+    event-table playback (scenarios.batched_scenario_step).  Scenario
+    randomness is self-derived from each env's scen_key (fold_in by tick), so
+    no step keys are consumed here."""
     from quadswarm_tpu.env.scenarios import batched_scenario_step
 
+    del keys
     ticks = states.tick + 1
-    keys6 = jax.vmap(lambda k: jax.random.split(k, 10)[6])(keys)
-    centers = states.obst_pos[:, :, :2]
     return batched_scenario_step(cfg.scenario_config(), states.scenario,
-                                 ticks, keys6, states.obst_active, centers,
-                                 cfg.mode_list())
+                                 ticks, cfg.mode_list())
 
 
 def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,

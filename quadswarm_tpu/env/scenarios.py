@@ -120,6 +120,76 @@ class ScenarioConfig:
     grid_size: float = struct.field(pytree_node=False, default=1.0)
 
 
+# The scenario leaves an event (slow-phase) branch can write, with their
+# per-agent shapes; everything else passes through events untouched.
+# Order defines the packed EventTable layout (see _pack_event_rows).
+# Kind "i" marks int32 leaves, stored as exact floats (every value —
+# formation id, agents/layer, tick interval — is integral and < 2^24, so the
+# float round-trip is lossless even in float32).
+_EVENT_SPEC = (
+    ("goals", ("n", 3), "f"),
+    ("formation", (), "i"),
+    ("num_agents_per_layer", (), "i"),
+    ("lowest_size", (), "f"),
+    ("highest_size", (), "f"),
+    ("formation_size", (), "f"),
+    ("layer_dist", (), "f"),
+    ("formation_center", (3,), "f"),
+    ("goal_center_1", (3,), "f"),
+    ("goal_center_2", (3,), "f"),
+    ("bezier_nodes", (3, 3), "f"),
+    ("interval", (), "i"),
+    ("end_point", (3,), "f"),
+)
+EVENT_WRITABLE = tuple(name for name, _, _ in _EVENT_SPEC)
+
+
+def _event_leaf_shape(shape_spec: tuple, n: int) -> tuple:
+    return tuple(n if s == "n" else s for s in shape_spec)
+
+
+def event_table_width(n: int) -> int:
+    """Packed floats per event slot: 3n (goals) + 28 scalars/vectors."""
+    total = 0
+    for _, shape_spec, _ in _EVENT_SPEC:
+        sz = 1
+        for s in _event_leaf_shape(shape_spec, n):
+            sz *= s
+        total += sz
+    return total
+
+
+def _pack_event_rows(rows: dict, num_slots: int, dtype) -> jax.Array:
+    """Pack per-slot event outcomes into ONE flat (num_slots * D,) vector.
+
+    Why packed: the natural per-leaf tables ((K, N, 3) goals, (K, 3, 3)
+    Bezier nodes, ...) have tiny minor dimensions, which TPU tiling pads to
+    (8, 128) — the batched goals table alone inflates 42x and its per-tick
+    playback read measured ~8M SPS (~95 us) on the 8-drone mix.  One flat
+    float vector per env keeps the whole table in dense lanes: the playback
+    select chain reads each (E, K*D) tile once.
+    """
+    parts = []
+    for name, shape_spec, _ in _EVENT_SPEC:
+        parts.append(rows[name].reshape(num_slots, -1).astype(dtype))
+    return jnp.concatenate(parts, axis=-1).reshape(-1)
+
+
+def _unpack_event_row(sel: jax.Array, n: int):
+    """Split a selected (..., D) packed row back into typed leaves."""
+    out = {}
+    off = 0
+    for name, shape_spec, kind in _EVENT_SPEC:
+        shape = _event_leaf_shape(shape_spec, n)
+        sz = 1
+        for s in shape:
+            sz *= s
+        val = sel[..., off:off + sz].reshape(sel.shape[:-1] + shape)
+        out[name] = val.astype(jnp.int32) if kind == "i" else val
+        off += sz
+    return out
+
+
 @struct.dataclass
 class ScenarioState:
     """Per-env scenario variables, all fixed-shape."""
@@ -150,6 +220,16 @@ class ScenarioState:
     # (lax.switch + trig + grid math) in the per-tick fast path.
     goals_base: jax.Array           # (N, 3) = goals at size 0
     goals_slope: jax.Array          # (N, 3) = d goals / d size
+    # Event presampling (see presample_events): the per-episode scenario PRNG
+    # root (event randomness is fold_in(scen_key, tick) so reset can reproduce
+    # the key of any future tick), the number of events consumed so far (the
+    # next table row to play back), and the presampled outcome table packed
+    # into one flat (num_slots * event_table_width(N),) vector — packed so
+    # TPU tiling doesn't pad the tiny per-leaf minor dims (see
+    # _pack_event_rows).
+    scen_key: jax.Array             # PRNG key
+    event_count: jax.Array          # int32
+    events: jax.Array               # (K * D,) packed float
 
 
 def _npl_for_formation(fid):
@@ -297,12 +377,17 @@ def max_free_square_center(key, obst_map2d, centers, dtype):
 def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
                    obst_active: jax.Array | None = None,
                    obst_centers: jax.Array | None = None,
-                   dtype=jnp.float32) -> ScenarioState:
+                   dtype=jnp.float32,
+                   allowed_modes: tuple | None = None) -> ScenarioState:
     """Per-episode scenario reset for runtime mode id `mode`.
 
     Free-space modes follow QuadrotorScenario.reset / standard_reset
     (scenarios/base.py:145-167); obstacle modes sample spawn/goal cells from
     the free cells of the obstacle map (o_base.py).
+
+    allowed_modes (static) sizes the presampled event table
+    (`num_event_slots`); pass None when `mode` might be outside the config's
+    mode list (sizes for the worst case over all modes).
     """
     n = cfg.num_agents
     keys = jax.random.split(key, 12)
@@ -345,6 +430,11 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
         approach_goal_metric=jnp.asarray(MODE_APPROACH_METRIC, dtype)[mode],
         goals_base=g_at_0,
         goals_slope=g_at_1 - g_at_0,
+        scen_key=jax.random.fold_in(key, 0x5CE9),
+        event_count=jnp.zeros((), jnp.int32),
+        events=jnp.zeros(
+            (num_event_slots(cfg, allowed_modes) * event_table_width(n),),
+            dtype),
     )
 
     def reset_lissajous(st):
@@ -487,7 +577,99 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
     nodes = jnp.where(is_bez_obst, obst_nodes, free_nodes)
     st = st.replace(bezier_nodes=jnp.where(is_bez_free | is_bez_obst,
                                            nodes, st.bezier_nodes))
-    return st
+
+    # Walk the episode's event chain once, filling the playback table.
+    oa = obst_active if obst_active is not None else jnp.zeros(
+        cfg.obst_area[0] * cfg.obst_area[1], bool)
+    oc = obst_centers if obst_centers is not None else jnp.zeros(
+        (oa.shape[0], 2), dtype)
+    return st.replace(events=presample_events(cfg, st, oa, oc))
+
+
+# ---------------------------------------------------------------------------
+# Event presampling
+# ---------------------------------------------------------------------------
+
+def num_event_slots(cfg: ScenarioConfig, allowed_modes: tuple | None = None
+                    ) -> int:
+    """Upper bound (plus one spare) on scenario events in one episode, over
+    the modes this config can sample.  Event cadences: per-env interval is
+    U(4,6) s for the interval modes (base.py update_goals cadence), fixed
+    1 s for run_away (run_away.py:17), 5 s/6 s for the Bezier node resamples
+    (+ the tick-1 resample), tick-1 + interval for o_dynamic_same_goal, and
+    one-shot for o_test."""
+    ep_len = int(cfg.ep_time * cfg.control_freq)
+    allowed = (set(range(len(MODES))) if allowed_modes is None
+               else set(int(m) for m in allowed_modes))
+    f = cfg.control_freq
+    k = 1
+    if MODE_IDS["run_away"] in allowed:
+        k = max(k, ep_len // max(int(1 * f), 1))
+    if allowed & _INTERVAL_MODES:
+        k = max(k, ep_len // max(int(4 * f), 1))
+    if MODE_IDS["o_dynamic_same_goal"] in allowed:
+        k = max(k, 1 + ep_len // max(int(4 * f), 1))
+    if MODE_IDS["ep_rand_bezier"] in allowed:
+        k = max(k, 1 + ep_len // max(int(5 * f), 1))
+    if MODE_IDS["o_ep_rand_bezier"] in allowed:
+        k = max(k, 1 + ep_len // max(int(6 * f), 1))
+    return k + 1
+
+
+def presample_events(cfg: ScenarioConfig, st: ScenarioState,
+                     obst_active: jax.Array, obst_centers: jax.Array
+                     ) -> jax.Array:
+    """Fill the episode's packed event table by walking the chain at reset.
+
+    Slot k replays the (k+1)-th event exactly as the per-tick path would run
+    it: the event's tick is computed from the mode's cadence (episodes are
+    fixed-length, so every event tick is known at reset), the event's PRNG
+    key is `fold_in(scen_key, tick)` — identical to what scenario_step
+    derives at that tick — and the branch runs on the chained state (event k
+    sees event k-1's outcome).  The one piece of between-event evolution an
+    event branch can observe is the Bezier goal position: at a resample tick
+    the goals sit at the previous curve's endpoint (`_bezier_eval(nodes, 1.0)
+    == nodes[:, 2]` exactly, since `t == 1.0` is exact), so the chain
+    advances goals to `nodes[:, 2]` after each Bezier slot.
+
+    Rows past an env's actual event count are never consumed (event_count
+    playback stops at the last fired event); their values are arbitrary but
+    well-defined (the chain keeps stepping).
+    """
+    dtype = st.goals.dtype
+    mode = st.mode
+    f = cfg.control_freq
+    interval0 = jnp.maximum(st.interval, 1)
+    is_bez = ((mode == MODE_IDS["ep_rand_bezier"])
+              | (mode == MODE_IDS["o_ep_rand_bezier"]))
+    cs = jnp.where(mode == MODE_IDS["o_ep_rand_bezier"],
+                   jnp.int32(6 * f), jnp.int32(5 * f))
+    # Modes whose first event is at tick 1 (Bezier tick-1 resample,
+    # o_dynamic_same_goal's tick-1 goal draw).
+    has_tick1 = is_bez | (mode == MODE_IDS["o_dynamic_same_goal"])
+
+    def slot(carry, k):
+        cadence = jnp.where(is_bez, cs, interval0)
+        t_k = jnp.where(has_tick1,
+                        jnp.where(k == 0, 1, k * cadence),
+                        (k + 1) * interval0)
+        # o_test fires once at interval+1; after slot 0 the bumped interval
+        # pushes the trigger past the episode, so later rows are unused.
+        t_k = jnp.where(mode == MODE_IDS["o_test"],
+                        jnp.maximum(carry.interval, 1) + 1, t_k)
+        new = scenario_step(cfg, carry, t_k.astype(jnp.int32), None,
+                            obst_active, obst_centers,
+                            allowed_modes=None, phase="slow")
+        row = {name: getattr(new, name) for name in EVENT_WRITABLE}
+        goals = jnp.where(
+            is_bez,
+            jnp.broadcast_to(new.bezier_nodes[:, 2], new.goals.shape),
+            new.goals)
+        return new.replace(goals=goals), row
+
+    num_slots = st.events.shape[0] // event_table_width(cfg.num_agents)
+    _, rows = jax.lax.scan(slot, st, jnp.arange(num_slots, dtype=jnp.int32))
+    return _pack_event_rows(rows, num_slots, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -549,6 +731,11 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
 
     Dispatches on st.mode via lax.switch; every branch is fixed-shape.
 
+    All scenario randomness derives from `fold_in(st.scen_key, tick)`, NOT
+    from the passed `key` (kept for signature compatibility, ignored): a
+    tick's scenario key is therefore known at reset, which is what makes the
+    event-outcome presampling (`presample_events`) bit-exact.
+
     allowed_modes (static): the mode ids this env config can actually sample
     (EnvConfig.mode_list()).  Under vmap over a batched mode, lax.switch
     lowers to "compute every branch, select one" — so restricting the branch
@@ -568,7 +755,8 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
     n = cfg.num_agents
     dtype = st.goals.dtype
     box = jnp.asarray(cfg.box, dtype)
-    keys = jax.random.split(key, 8)
+    del key  # see docstring: scenario randomness is fold_in(scen_key, tick)
+    keys = jax.random.split(jax.random.fold_in(st.scen_key, tick), 8)
     at_interval = (tick % jnp.maximum(st.interval, 1) == 0) & (tick > 0)
 
     def no_op(st):
@@ -760,18 +948,28 @@ def scenario_step(cfg: ScenarioConfig, st: ScenarioState, tick: jax.Array,
     if allowed_modes is not None:
         allowed = tuple(sorted(set(int(m) for m in allowed_modes)))
         if len(allowed) == 1:
-            return branches[allowed[0]](st)
-        sub = [branches[i] for i in allowed]
-        lut = np.zeros(len(branches), np.int32)
-        for pos, mid in enumerate(allowed):
-            lut[mid] = pos
-        return jax.lax.switch(jnp.asarray(lut)[jnp.clip(st.mode, 0, len(branches) - 1)],
-                              sub, st)
-    return jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1), branches, st)
+            out = branches[allowed[0]](st)
+        else:
+            sub = [branches[i] for i in allowed]
+            lut = np.zeros(len(branches), np.int32)
+            for pos, mid in enumerate(allowed):
+                lut[mid] = pos
+            out = jax.lax.switch(
+                jnp.asarray(lut)[jnp.clip(st.mode, 0, len(branches) - 1)],
+                sub, st)
+    else:
+        out = jax.lax.switch(jnp.clip(st.mode, 0, len(branches) - 1),
+                             branches, st)
+    if phase == "full":
+        # Track consumed events so the table-playback path (which advances
+        # event_count itself) stays pytree-identical to this oracle path.
+        ev = scenario_event(cfg, st, tick)
+        out = out.replace(event_count=st.event_count + ev.astype(jnp.int32))
+    return out
 
 
 def _fast_step_fused(cfg: ScenarioConfig, sts: ScenarioState,
-                     ticks: jax.Array, keys: jax.Array,
+                     ticks: jax.Array,
                      allowed_modes: tuple | None) -> ScenarioState:
     """Batched fast (continuous-motion) phase without the vmapped switch.
 
@@ -802,8 +1000,9 @@ def _fast_step_fused(cfg: ScenarioConfig, sts: ScenarioState,
         flip = at_low | at_high
         inc = jnp.where(at_low, True,
                         jnp.where(at_high, False, sts.increase_formation))
-        u = jax.vmap(lambda k: jax.random.uniform(
-            jax.random.split(k, 8)[0], (), dtype, 1.0, 3.0))(keys)
+        u = jax.vmap(lambda sk, t: jax.random.uniform(
+            jax.random.split(jax.random.fold_in(sk, t), 8)[0],
+            (), dtype, 1.0, 3.0))(sts.scen_key, ticks)
         speed = jnp.where(flip, u, sts.control_speed)
         size = sts.formation_size + jnp.where(inc, 1.0, -1.0) * 0.001 * speed
         df_goals = sts.goals_base + size[:, None, None] * sts.goals_slope
@@ -841,57 +1040,27 @@ def _fast_step_fused(cfg: ScenarioConfig, sts: ScenarioState,
 
 
 def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
-                          ticks: jax.Array, keys: jax.Array,
-                          obst_active: jax.Array | None,
-                          obst_centers: jax.Array | None,
-                          allowed_modes: tuple | None,
-                          capacity: int = 0) -> ScenarioState:
-    """scenario_step over a batch of E envs, always bit-identical to the
-    naive `jax.vmap(scenario_step)` but restructured for TPU cost model
-    (kernel COUNT dominates, not element count):
+                          ticks: jax.Array,
+                          allowed_modes: tuple | None) -> ScenarioState:
+    """scenario_step over a batch of E envs — bit-identical to the naive
+    `jax.vmap(scenario_step)` for any state reachable from scenario_reset,
+    restructured for the TPU cost model (kernel COUNT dominates, not element
+    count):
 
       1. the continuous per-tick motion runs fused for all envs
          (`_fast_step_fused` — straight-line masked code, no switch);
-      2. the sparse event branches (goal teleports, swaps, Bezier node
-         resamples, heavy obstacle-mode updates) go through event
-         compaction, tiered by the actual event count this tick:
-           0 events   -> identity (no slow work)
-           <= cap     -> small-cap gather/compact/scatter
-           <= E/8     -> big-cap (tick-SYNCHRONIZED bursts: envs reset
-                         together, so constant-interval modes like
-                         run_away's fixed 1 s fire ~E/num_modes at once)
-           > E/8      -> uncompacted all-envs slow pass (never drops events)
-         A fused full-E masked alternative for the cheap event branches was
-         measured SLOWER (the per-env branch math at full batch outweighs
-         the compaction machinery; see round-3 commit history), so
-         compaction carries all event modes.
+      2. the sparse event branches never run per tick at all: their outcomes
+         were presampled at reset into the per-episode packed event table
+         (see presample_events), so an event tick is one unrolled row select
+         + masked merge of the 13 event-writable leaves.
+
+    History: round 2 ran the full vmapped switch per tick; round 3 compacted
+    event envs through gather/compact/scatter tiers, which measured ~8M SPS
+    below the fast-phase-only ceiling on the 8-drone mix (the tier dispatch +
+    einsum scatter-back dominated); round 4 moved the event work to reset,
+    where it amortizes over the episode's ~1500 ticks.
     """
-    e = ticks.shape[0]
-    has_obst = obst_active is not None
-
-    def slow_one(st, t, k, oa, oc):
-        return scenario_step(cfg, st, t, k, oa, oc,
-                             allowed_modes=allowed_modes, phase="slow")
-
-    # Leaves a slow branch can write (each branch is an st.replace over a
-    # subset of these).  All other leaves pass through the slow phase
-    # untouched, so merging them back would be pure kernel overhead
-    # (~8 leaves x 2-3 kernels per tick) — they are taken from `fast`.
-    writable = ("goals", "formation", "num_agents_per_layer", "lowest_size",
-                "highest_size", "formation_size", "layer_dist",
-                "formation_center", "goal_center_1", "goal_center_2",
-                "bezier_nodes", "interval", "end_point")
-
-    def merge_writable(merge_fn, fast, slow):
-        return fast.replace(**{
-            name: merge_fn(getattr(fast, name), getattr(slow, name))
-            for name in writable})
-
-    if not has_obst:
-        obst_active = jnp.zeros((e, 1), bool)
-        obst_centers = jnp.zeros((e, 1, 2), sts.goals.dtype)
-
-    fast = _fast_step_fused(cfg, sts, ticks, keys, allowed_modes)
+    fast = _fast_step_fused(cfg, sts, ticks, allowed_modes)
 
     allowed_set = (set(int(m) for m in allowed_modes)
                    if allowed_modes is not None else set(range(len(MODES))))
@@ -901,87 +1070,26 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
     if not event_modes:
         return fast
 
+    e = ticks.shape[0]
     event = scenario_event(cfg, sts, ticks)
-    # Default cap sized for the steady Poisson event traffic (~E/500 per
-    # tick from per-env U(4,6) s intervals): small, because the per-tick
-    # compacted slow phase evaluates EVERY allowed mode's branch per slot.
-    # Overflow escalates to the big-cap tier, so a tight cap costs at most
-    # an occasional escalation, not dropped events.
-    cap = capacity if capacity > 0 else max(16, e // 256)
-    cap = min(cap, e)
+    d = event_table_width(cfg.num_agents)
+    k_slots = sts.events.shape[-1] // d
+    row = jnp.minimum(sts.event_count, k_slots - 1)
+
+    # Static unrolled select over the K (small, static) packed table rows —
+    # a take_along_axis here is a batched dynamic gather, which TPU
+    # serializes per env; K-1 masked selects over static lane slices of the
+    # packed (E, K*D) table vectorize fully, read each tile once, and stay
+    # bit-exact (no arithmetic on the selected values).
+    sel = sts.events[:, :d]
+    for j in range(1, k_slots):
+        m = (row == j)[:, None]
+        sel = jnp.where(m, sts.events[:, j * d:(j + 1) * d], sel)
+    row_leaves = _unpack_event_row(sel, cfg.num_agents)
+
     bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
-    if cap == e:
-        # No compaction benefit — run the slow phase vmapped on all envs.
-        slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
-        return merge_writable(
-            lambda f, s: jnp.where(bmask(event, s), s, f), fast, slow)
-
-    # Stream-compact event env indices into `cap` slots via cumsum+scatter
-    # (O(E), no sort — cheaper than lax.top_k which lowers to a full sort).
-    slot = jnp.cumsum(event.astype(jnp.int32)) - 1
-    n_events = slot[-1] + 1
-
-    def compacted_at(cap_i):
-        def compacted(fast):
-            # One-hot compaction map WITHOUT a scatter: hot[c, e] == "env e
-            # is the (c+1)-th event this tick".  The previous
-            # `.at[dest].set(arange(E))` formulation was an E-update scatter
-            # every tick — TPU scatters serialize, and it measured as the
-            # largest share of the mix-vs-static gap.  The broadcast compare
-            # + row reduction below is fully vectorized; each hot row has at
-            # most one set lane (cumsum slots are unique), so the idx
-            # extraction by masked sum is exact.  Rows beyond n_events are
-            # all-False by construction.
-            rows = jnp.arange(cap_i, dtype=jnp.int32)
-            hot = event[None, :] & (slot[None, :] == rows[:, None])  # (cap,E)
-            valid = rows < jnp.minimum(n_events, cap_i)
-            idx = jnp.sum(
-                jnp.where(hot, jnp.arange(e, dtype=jnp.int32)[None, :], 0),
-                axis=1)
-            take = lambda x: x[idx]
-            sub = jax.tree.map(take, fast)
-            slow = jax.vmap(slow_one)(sub, ticks[idx], keys[idx],
-                                      obst_active[idx], obst_centers[idx])
-            merged = merge_writable(
-                lambda su, sl: jnp.where(bmask(valid, sl), sl, su), sub, slow)
-            # Scatter-back via one-hot matmul: `full.at[idx].set(m)` is a
-            # scatter with cap batch-varying indices, which XLA serializes
-            # into cap sequential row writes PER LEAF on TPU (~20 leaves —
-            # measured ~14% of the whole env step).  Each written row has
-            # exactly one hot slot and `merged` is always finite (invalid
-            # slots carry the gathered fast values), so the einsum (an MXU
-            # matmul) reproduces the scatter bit-for-bit.
-            row_written = jnp.any(hot, axis=0)
-
-            def merge(full, m):
-                if m.dtype == jnp.bool_:
-                    scat = jnp.einsum('ce,c...->e...', hot.astype(jnp.float32),
-                                      m.astype(jnp.float32)) > 0.5
-                else:
-                    scat = jnp.einsum('ce,c...->e...', hot.astype(m.dtype), m)
-                return jnp.where(
-                    row_written.reshape((e,) + (1,) * (m.ndim - 1)), scat, full)
-
-            return merge_writable(merge, fast, merged)
-        return compacted
-
-    def uncompacted(fast):
-        # > cap_big events this tick (coinciding synchronized bursts):
-        # run the slow phase on every env so no event is ever dropped.
-        slow = jax.vmap(slow_one)(fast, ticks, keys, obst_active, obst_centers)
-        return merge_writable(
-            lambda f, s: jnp.where(bmask(event, s), s, f), fast, slow)
-
-    cap_big = min(e, max(8 * cap, e // 8))
-    if cap_big > cap:
-        def overflow(fast):
-            return jax.lax.cond(n_events > cap_big, uncompacted,
-                                compacted_at(cap_big), fast)
-    else:
-        overflow = uncompacted
-
-    def any_events(fast):
-        return jax.lax.cond(n_events > cap, overflow, compacted_at(cap), fast)
-
-    # Event-free ticks (the overwhelming majority) do ZERO slow work.
-    return jax.lax.cond(n_events > 0, any_events, lambda f: f, fast)
+    merged = fast.replace(**{
+        name: jnp.where(bmask(event, getattr(fast, name)),
+                        row_leaves[name], getattr(fast, name))
+        for name in EVENT_WRITABLE})
+    return merged.replace(event_count=sts.event_count + event.astype(jnp.int32))
