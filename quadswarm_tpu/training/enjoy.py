@@ -111,7 +111,8 @@ def run_eval(args) -> dict:
             rec.record(state, rew, obs=obs[0] if viz_v else None)
             if live is not None:
                 live.update(int(state.tick), state.dyn.pos,
-                            state.scenario.goals, state.prev_coll_ids)
+                            state.scenario.goals, state.prev_coll_ids,
+                            vel=state.dyn.vel, acc=state.dyn.accelerometer)
             ep_reward += np.asarray(rew)
             done = bool(dones[0])
             if done:

@@ -29,11 +29,15 @@ class TrajectoryRecorder:
     collisions: list = field(default_factory=list)  # [T] (N,) bool
     rewards: list = field(default_factory=list)
     obs: list = field(default_factory=list)        # [T] (N, obs_dim), optional
+    vel: list = field(default_factory=list)        # [T] (N, 3)
+    acc: list = field(default_factory=list)        # [T] (N, 3)
 
     def record(self, state, reward=None, obs=None) -> None:
         self.pos.append(np.asarray(state.dyn.pos))
         self.goals.append(np.asarray(state.scenario.goals))
         self.collisions.append(np.asarray(state.prev_coll_ids))
+        self.vel.append(np.asarray(state.dyn.vel))
+        self.acc.append(np.asarray(state.dyn.accelerometer))
         if reward is not None:
             self.rewards.append(np.asarray(reward))
         if obs is not None:
@@ -79,12 +83,16 @@ def _set_view(ax, view: str, center, room_dims):
 def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
                  views=("topdown", "chase", "global"), trace=None,
                  obstacles=None, obst_size=1.0, figsize_per_view=4,
-                 v_map=None, v_extent=2.0):
+                 v_map=None, v_extent=2.0, vel=None, acc=None):
     """Render one tick to an RGB array (H, W, 3) with one panel per view.
 
     `v_map` (2D array) appends a critic-value heatmap panel beside the env
     views — the live side-panel of the reference's V_ValueMapWrapper.render
     (swarm_rl/env_wrappers/v_value_map.py:28-37).
+
+    `vel` / `acc` (N, 3) draw per-drone velocity (red) and accelerometer
+    (green) arrow glyphs, the reference viewer's vel/acc arrows
+    (quadrotor_visualization.py:91-150 arrow nodes, update at :341-365).
 
     Renders on a private offscreen Agg canvas (matplotlib.figure.Figure, not
     pyplot), so it never switches the global backend — a LiveRenderer's
@@ -109,6 +117,19 @@ def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
                 ax.plot(tr[:, 0], tr[:, 1], tr[:, 2],
                         color=QUAD_COLORS[i % len(QUAD_COLORS)], alpha=0.3,
                         linewidth=0.8)
+        # vel/acc arrows: lengths scale like the reference's arrow nodes
+        # (quadrotor_visualization.py:341-365: vel/4, (acc-g)/8 capped)
+        if vel is not None:
+            v = np.asarray(vel) / 4.0
+            ax.quiver(pos[:, 0], pos[:, 1], pos[:, 2],
+                      v[:, 0], v[:, 1], v[:, 2], color="r", alpha=0.7,
+                      linewidth=1.0, arrow_length_ratio=0.25)
+        if acc is not None:
+            a = np.asarray(acc) - np.array([0.0, 0.0, 9.81])
+            a = a / 8.0
+            ax.quiver(pos[:, 0], pos[:, 1], pos[:, 2],
+                      a[:, 0], a[:, 1], a[:, 2], color="g", alpha=0.7,
+                      linewidth=1.0, arrow_length_ratio=0.25)
         if obstacles is not None:
             for ob in obstacles:
                 theta = np.linspace(0, 2 * np.pi, 16)
@@ -179,13 +200,17 @@ def render_trajectory(recorder: TrajectoryRecorder, out_dir: str,
     pos, goals, cols = recorder.arrays()
     paths = []
     frames = []
+    vel = np.stack(recorder.vel) if recorder.vel else None
+    acc = np.stack(recorder.acc) if recorder.acc else None
     for t in range(0, pos.shape[0], every_nth):
         trace = pos[max(0, t - viz_traces):t + 1]
         frame = render_frame(pos[t], goals[t], cols[t], room_dims, views,
                              trace=trace, obstacles=obstacles,
                              obst_size=obst_size,
                              v_map=None if v_maps is None else v_maps.get(t),
-                             v_extent=v_extent)
+                             v_extent=v_extent,
+                             vel=None if vel is None else vel[t],
+                             acc=None if acc is None else acc[t])
         path = os.path.join(out_dir, f"frame_{t:05d}.png")
         mpimg.imsave(path, frame)
         paths.append(path)
@@ -202,30 +227,39 @@ class LiveRenderer:
 
     When an interactive matplotlib backend can open a window ($DISPLAY set),
     frames are shown live as the episode steps, with chase/topdown/global
-    cameras and collision flashes.  Headless (the normal case on a TPU
-    host), frames stream to `out_dir/live/frame_XXXXX.png` AS THEY ARE
-    PRODUCED (plus `latest.png`, atomically swapped, so a file watcher or
-    `watch -n1` sees the run progressing), and `close()` assembles
-    `live.mp4` by re-reading the streamed PNGs — memory stays O(1) in
-    episode length.  `realtime=True` paces updates to wall-clock sim time
-    like the reference's render_speed=1.0.
+    cameras, collision flashes, and vel/acc arrow glyphs, plus the
+    reference viewer's interactive keys (quadrotor_multi_visualization.py
+    :606+ key handlers): LEFT/RIGHT cycle the camera view of the first
+    panel, 'a' toggles the arrows, 'p' pauses/resumes.  Headless (the
+    normal case on a TPU host), frames stream to
+    `out_dir/live/frame_XXXXX.png` AS THEY ARE PRODUCED (plus `latest.png`,
+    atomically swapped, so a file watcher or `watch -n1` sees the run
+    progressing), and `close()` assembles `live.mp4` by re-reading the
+    streamed PNGs — memory stays O(1) in episode length.  `realtime=True`
+    paces updates to wall-clock sim time like the reference's
+    render_speed=1.0.
     """
+
+    _VIEW_CYCLE = ("global", "chase", "topdown", "topdownfollow", "side",
+                   "corner0", "corner1")
 
     def __init__(self, room_dims=(10.0, 10.0, 10.0),
                  views=("topdown", "chase", "global"), out_dir=None,
                  every_nth: int = 5, realtime: bool = False,
                  control_dt: float = 0.01, obstacles=None, obst_size=1.0,
-                 viz_traces: int = 25):
+                 viz_traces: int = 25, show_arrows: bool = True):
         import matplotlib
 
         self.room_dims = room_dims
-        self.views = views
+        self.views = tuple(views)
         self.every_nth = max(1, every_nth)
         self.realtime = realtime
         self.control_dt = control_dt
         self.obstacles = obstacles
         self.obst_size = obst_size
         self.viz_traces = viz_traces
+        self.show_arrows = show_arrows
+        self._paused = False
         self._trace: list = []
         self._frame_paths: list[str] = []
         self._last_wall = None
@@ -245,7 +279,21 @@ class LiveRenderer:
         if out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
 
-    def update(self, tick: int, pos, goals, collisions) -> None:
+    def _on_key(self, event) -> None:
+        """Interactive camera/glyph controls (reference:
+        quadrotor_multi_visualization.py:606+ switches cameras on keys)."""
+        if event.key in ("left", "right"):
+            cyc = self._VIEW_CYCLE
+            cur = cyc.index(self.views[0]) if self.views[0] in cyc else 0
+            step = 1 if event.key == "right" else -1
+            self.views = ((cyc[(cur + step) % len(cyc)],) + self.views[1:])
+        elif event.key == "a":
+            self.show_arrows = not self.show_arrows
+        elif event.key == "p":
+            self._paused = not self._paused
+
+    def update(self, tick: int, pos, goals, collisions,
+               vel=None, acc=None) -> None:
         """Called every control tick; renders on the every_nth grid."""
         import time
 
@@ -261,11 +309,16 @@ class LiveRenderer:
             if lag > 0:
                 time.sleep(lag)
         self._last_wall = time.perf_counter()
+        arrows = self.show_arrows
         frame = render_frame(pos, np.asarray(goals), np.asarray(collisions),
                              self.room_dims, self.views,
                              trace=np.asarray(self._trace),
                              obstacles=self.obstacles,
-                             obst_size=self.obst_size)
+                             obst_size=self.obst_size,
+                             vel=None if (vel is None or not arrows) else
+                             np.asarray(vel),
+                             acc=None if (acc is None or not arrows) else
+                             np.asarray(acc))
         if self.interactive:
             plt = self._plt
             if self._im is None:
@@ -276,10 +329,13 @@ class LiveRenderer:
                 ax.axis("off")
                 self._im = ax.imshow(frame)
                 self._fig = fig
+                fig.canvas.mpl_connect("key_press_event", self._on_key)
             else:
                 self._im.set_data(frame)
             self._fig.canvas.draw_idle()
             plt.pause(0.001)
+            while self._paused:
+                plt.pause(0.1)
         if self.out_dir is not None:
             from matplotlib import image as mpimg
             path = os.path.join(self.out_dir, f"frame_{tick:05d}.png")

@@ -117,7 +117,9 @@ def test_live_renderer_headless(tmp_path, monkeypatch):
     rng = np.random.default_rng(0)
     for tick in range(8):
         pos = rng.uniform(-2, 2, (3, 3)) + np.array([0.0, 0.0, 3.0])
-        live.update(tick, pos, pos + 0.3, np.zeros(3, bool))
+        live.update(tick, pos, pos + 0.3, np.zeros(3, bool),
+                    vel=rng.uniform(-1, 1, (3, 3)),
+                    acc=rng.uniform(-1, 1, (3, 3)) + np.array([0, 0, 9.81]))
     frames = sorted(out.glob("frame_*.png"))
     assert len(frames) == 4, frames            # ticks 0, 2, 4, 6
     assert (out / "latest.png").exists()
@@ -135,6 +137,29 @@ def test_live_renderer_headless(tmp_path, monkeypatch):
     render_frame(np.zeros((1, 3)), np.ones((1, 3)), np.zeros(1, bool),
                  views=("global",))
     assert matplotlib.get_backend() == before
+
+
+def test_live_renderer_key_bindings(tmp_path, monkeypatch):
+    """Interactive keys (reference viewer key handlers,
+    quadrotor_multi_visualization.py:606+): LEFT/RIGHT cycle the first
+    panel's camera, 'a' toggles vel/acc arrows, 'p' toggles pause."""
+    from types import SimpleNamespace
+
+    from quadswarm_tpu.utils.render import LiveRenderer
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    live = LiveRenderer(views=("global", "chase"), out_dir=str(tmp_path))
+    live._on_key(SimpleNamespace(key="right"))
+    assert live.views == ("chase", "chase")
+    live._on_key(SimpleNamespace(key="left"))
+    assert live.views == ("global", "chase")
+    assert live.show_arrows
+    live._on_key(SimpleNamespace(key="a"))
+    assert not live.show_arrows
+    live._on_key(SimpleNamespace(key="p"))
+    assert live._paused
+    live._on_key(SimpleNamespace(key="p"))
+    assert not live._paused
 
 
 def test_render_frame():
