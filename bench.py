@@ -137,13 +137,19 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
                 iters: int = 10, repeats: int = 5,
                 use_pallas: bool | None = None,
                 replay_sample_prob: float = 0.75,
-                model_dtype=None, sgd_unroll: int = 8) -> dict:
+                model_dtype=None, sgd_unroll: int = 8,
+                async_rl: bool = False, policy_lag: int = 1,
+                with_vtrace: bool = False) -> dict:
     """End-to-end training throughput (rollout + PPO update, one chip):
     the 8-drone mix baseline config (rollout 128, batch 1024, replay
     buffer on, corl attention encoder), same delta-method timing.
 
     Model compute runs in bfloat16 on TPU (the training CLI default,
-    --model_dtype=auto); params/optimizer/loss math stay f32."""
+    --model_dtype=auto); params/optimizer/loss math stay f32.
+
+    async_rl=True drives the APPO two-program trainer (rollout | learn as
+    separate jitted programs with `policy_lag` stale-params distance) so the
+    overlap claim in parallel/appo.py carries a measured number."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if model_dtype is None:
@@ -152,6 +158,7 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
     from quadswarm_tpu.env.multi import EnvConfig
     from quadswarm_tpu.env.params import DynamicsParams, crazyflie_params
     from quadswarm_tpu.models.actor_critic import ActorCritic
+    from quadswarm_tpu.parallel.appo import APPOTrainer
     from quadswarm_tpu.parallel.ppo import PPOConfig, Trainer
 
     env_cfg = EnvConfig(
@@ -161,7 +168,7 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
         use_pallas_dynamics=use_pallas, dtype=jnp.float32)
     ppo_cfg = PPOConfig(rollout=128, batch_size=1024, num_envs=num_envs,
                         replay_sample_prob=replay_sample_prob,
-                        sgd_unroll=sgd_unroll)
+                        sgd_unroll=sgd_unroll, with_vtrace=with_vtrace)
     model = ActorCritic(
         self_obs_dim=18, neighbor_obs_dim=6,
         num_neighbors=env_cfg.neighbor_visible_num,
@@ -169,7 +176,11 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
         rnn_size=256, neighbor_hidden=256, dtype=model_dtype)
     dyn = DynamicsParams.from_model(crazyflie_params(),
                                     dt=env_cfg.dt).astype(np.float32)
-    trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=0)
+    if async_rl:
+        trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=0,
+                              policy_lag=policy_lag)
+    else:
+        trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=0)
     trainer.iteration()  # compile
     float(jnp.sum(jax.tree.leaves(trainer.train_state.params)[0]))
 
@@ -187,9 +198,11 @@ def bench_train(num_envs: int = 1024, num_agents: int = 8,
         t_long = timed(1 + iters)
         runs.append(steps_per_iter * iters / max(t_long - t_short, 1e-9))
     sps, spread = _median_spread(runs)
+    algo = (f"APPO lag={policy_lag}"
+            + (" vtrace" if with_vtrace else "")) if async_rl else "sync PPO"
     return {
         "metric": f"train agent-steps/s ({num_agents}-drone mix baseline, "
-                  f"{num_envs} envs, replay on)",
+                  f"{num_envs} envs, replay on, {algo})",
         "value": round(sps),
         "unit": "agent-steps/s",
         "vs_baseline": round(sps / BASELINE_SPS_8_QUADS, 2),
@@ -257,6 +270,13 @@ if __name__ == "__main__":
                         "in --train")
     p.add_argument("--model_f32", action="store_true",
                    help="force float32 model compute in --train")
+    p.add_argument("--async_rl", action="store_true",
+                   help="with --train: drive the APPO two-program trainer "
+                        "(stale-params rollout | learner) instead of sync PPO")
+    p.add_argument("--policy_lag", type=int, default=1,
+                   help="APPO behavior-params staleness for --async_rl")
+    p.add_argument("--vtrace", action="store_true",
+                   help="with --async_rl: V-trace off-policy correction")
     p.add_argument("--scaling", action="store_true",
                    help="measure multi-device scaling of the flagship train "
                         "step over a 1/2/4/8-device mesh (delegates to "
@@ -283,7 +303,9 @@ if __name__ == "__main__":
             num_envs=args.train_envs, iters=args.train_iters,
             repeats=args.repeats,
             use_pallas=args.pallas, sgd_unroll=args.sgd_unroll,
-            model_dtype=jnp.float32 if args.model_f32 else None)))
+            model_dtype=jnp.float32 if args.model_f32 else None,
+            async_rl=args.async_rl, policy_lag=args.policy_lag,
+            with_vtrace=args.vtrace)))
     elif args.sweep:
         import sys
 

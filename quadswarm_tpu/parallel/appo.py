@@ -11,10 +11,17 @@ TPU-native reading: the actor/learner split becomes TWO jitted programs —
 GAE + minibatch SGD).  With `policy_lag=L`, the rollout dispatched at
 iteration i uses the params produced at iteration i-1-L(+1 queue semantics),
 so the rollout program has no data dependency on the immediately preceding
-learner program: the host can keep both in flight in the device queue, and on
-a sharded mesh XLA may overlap them — the same latency-hiding APPO buys with
-processes, without host<->device ping-pong.  `policy_lag=0` reduces exactly to
-synchronous PPO.
+learner program.  `policy_lag=0` reduces exactly to synchronous PPO.
+
+MEASURED (v5e single chip, bench.py --train --async_rl, round 4): a single
+TPU core executes one program at a time, so the two programs do NOT overlap
+on one chip — APPO lag=1 measured 1.82M agent-steps/s vs 2.15M for the
+fused sync Trainer (the gap is the learner-side value/log-prob recompute
+over the stale trajectory, which sync PPO gets for free from the rollout).
+On one chip APPO is therefore a SEMANTIC choice (SF-style staleness
+tolerance + V-trace), not a throughput one; the latency-hiding value of the
+split is reserved for multi-chip meshes where rollout and learner shards
+can be disjoint (docs/PERF.md "APPO measured" table).
 
 V-trace (Espeholt et al., IMPALA 2018): with clipped importance weights
 rho_t = min(pi/mu, rho_clip), c_t = min(pi/mu, c_clip),
@@ -88,16 +95,31 @@ def appo_learn(model, ppo_cfg: PPOConfig, train_state, traj: Transition,
         return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
                 denormalize_value(norm_state, value.astype(jnp.float32)))
 
-    mean, log_std, values_flat = learner_forward(traj.obs)
-    values = values_flat.reshape(t_dim, e_dim, n_dim)
+    # The value/log-prob recompute over the stale trajectory runs as a scan
+    # over rollout steps (E*N rows each), NOT one forward over all T*E*N
+    # rows: at baseline shapes (128 x 1024 x 8) the single-shot encoder
+    # activations are (2, 1M, 6, 256) bf16 = 6 GB apiece and the program
+    # exceeds v5e HBM (measured 18.06G > 15.75G).  Only the scalar value /
+    # log-prob per sample leave the scan.
+    def fwd_t(_, xs):
+        o, a = xs
+        mean, log_std, v = learner_forward(o)
+        if ppo_cfg.with_vtrace:
+            lp = gaussian_log_prob(
+                mean, log_std, a.reshape(-1, a.shape[-1]))
+            lp = lp.reshape(e_dim, n_dim)
+        else:
+            lp = jnp.zeros((e_dim, n_dim), jnp.float32)
+        return None, (v.reshape(e_dim, n_dim), lp)
+
+    _, (values, target_log_prob) = jax.lax.scan(
+        fwd_t, None, (traj.obs, traj.actions))
     _, _, last_value_flat = learner_forward(last_obs)
     last_value = last_value_flat.reshape(e_dim, n_dim)
 
     if ppo_cfg.with_vtrace:
-        target_log_prob = gaussian_log_prob(
-            mean, log_std, traj.actions.reshape(-1, traj.actions.shape[-1]))
-        ratio = jnp.exp(jax.lax.stop_gradient(target_log_prob).reshape(
-            t_dim, e_dim, n_dim) - traj.log_prob)
+        ratio = jnp.exp(jax.lax.stop_gradient(target_log_prob)
+                        - traj.log_prob)
         advantages, returns = vtrace_advantages(
             ratio, traj.reward, jax.lax.stop_gradient(values), traj.done,
             jax.lax.stop_gradient(last_value), ppo_cfg.gamma,
