@@ -35,7 +35,7 @@ from quadswarm_tpu.env.reward import RewardCoeffs, compute_reward, proximity_pen
 from quadswarm_tpu.env.scenarios import (
     MIX_MODES_MULTI, MIX_MODES_OBSTACLES, MIX_MODES_OBSTACLES_SINGLE,
     MIX_MODES_SINGLE, MODE_IDS, ScenarioConfig, ScenarioState,
-    scenario_reset, scenario_step,
+    event_table_width, scenario_reset, scenario_step,
 )
 from quadswarm_tpu.env.sensor import SensorNoiseParams, add_noise
 
@@ -309,9 +309,13 @@ def _compute_obs(cfg: EnvConfig, dyn: DroneState, goals: jax.Array,
 def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
               rew_coeff: RewardCoeffs | None = None,
               obst_density=None, obst_size=None,
-              mode=None) -> tuple[EnvState, jax.Array]:
+              mode=None, event_slots: int | None = None
+              ) -> tuple[EnvState, jax.Array]:
     """Fresh episode: obstacles -> scenario -> spawn -> obs
-    (quadrotor_multi.py:339-411)."""
+    (quadrotor_multi.py:339-411).
+
+    event_slots (static) pins the presampled event-table size; auto-reset
+    passes the incoming state's size so shapes stay stable across resets."""
     n = cfg.num_agents
     dtype = cfg.dtype
     keys = jax.random.split(key, 6)
@@ -363,7 +367,7 @@ def env_reset(cfg: EnvConfig, params: Any, key: jax.Array,
         mode = jnp.asarray(mode, jnp.int32)
     scen = scenario_reset(cfg.scenario_config(), keys[2], mode,
                           obst_active, centers, dtype,
-                          allowed_modes=table_modes)
+                          allowed_modes=table_modes, num_slots=event_slots)
 
     pos, vel, rot, omega = _sample_spawn(cfg, keys[3], scen.spawn_points)
     dyn = init_state((n,), dtype).replace(pos=pos, vel=vel, rot=rot, omega=omega)
@@ -698,10 +702,13 @@ def env_step(cfg: EnvConfig, params: Any, state: EnvState, actions: jax.Array,
     info["rewards/rewraw_quadcol_obstacle"] = rew_obst_raw
 
     if auto_reset:
+        slots = (state.scenario.events.shape[-1]
+                 // event_table_width(cfg.num_agents))
         reset_state, reset_obs = env_reset(
             cfg, params, keys[8], rew_coeff=state.rew_coeff,
             obst_density=None if cfg.obst_density_random else state.obst_density,
-            obst_size=None if cfg.obst_size_random else state.obst_size)
+            obst_size=None if cfg.obst_size_random else state.obst_size,
+            event_slots=slots)
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
                                  reset_state, new_state)
         obs = jnp.where(done, reset_obs, obs)
@@ -852,6 +859,9 @@ def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,
     done_env = jnp.any(dones, axis=-1)
     reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
 
+    slots = (states.scenario.events.shape[-1]
+             // event_table_width(cfg.num_agents))
+
     def do_reset(args):
         new_states, obs = args
         reset_states, reset_obs = jax.vmap(
@@ -859,7 +869,8 @@ def batched_env_step(cfg: EnvConfig, params: Any, states: EnvState,
                 cfg, params, k, rew_coeff=s.rew_coeff,
                 obst_density=(None if cfg.obst_density_random
                               else s.obst_density),
-                obst_size=None if cfg.obst_size_random else s.obst_size)
+                obst_size=None if cfg.obst_size_random else s.obst_size,
+                event_slots=slots)
         )(reset_keys, new_states)
         return (_select_done(done_env, reset_states, new_states),
                 _select_done(done_env, reset_obs, obs))

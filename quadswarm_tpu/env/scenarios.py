@@ -378,7 +378,8 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
                    obst_active: jax.Array | None = None,
                    obst_centers: jax.Array | None = None,
                    dtype=jnp.float32,
-                   allowed_modes: tuple | None = None) -> ScenarioState:
+                   allowed_modes: tuple | None = None,
+                   num_slots: int | None = None) -> ScenarioState:
     """Per-episode scenario reset for runtime mode id `mode`.
 
     Free-space modes follow QuadrotorScenario.reset / standard_reset
@@ -387,7 +388,10 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
 
     allowed_modes (static) sizes the presampled event table
     (`num_event_slots`); pass None when `mode` might be outside the config's
-    mode list (sizes for the worst case over all modes).
+    mode list (sizes for the worst case over all modes).  `num_slots`
+    overrides the computed size — auto-reset uses it to keep the table shape
+    identical to the episode being replaced (state shapes must be stable
+    across resets).
     """
     n = cfg.num_agents
     keys = jax.random.split(key, 12)
@@ -433,7 +437,8 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
         scen_key=jax.random.fold_in(key, 0x5CE9),
         event_count=jnp.zeros((), jnp.int32),
         events=jnp.zeros(
-            (num_event_slots(cfg, allowed_modes) * event_table_width(n),),
+            ((num_slots or num_event_slots(cfg, allowed_modes))
+             * event_table_width(n),),
             dtype),
     )
 
