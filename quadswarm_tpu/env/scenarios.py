@@ -123,9 +123,13 @@ class ScenarioConfig:
 # The scenario leaves an event (slow-phase) branch can write, with their
 # per-agent shapes; everything else passes through events untouched.
 # Order defines the packed EventTable layout (see _pack_event_rows).
-# Kind "i" marks int32 leaves, stored as exact floats (every value —
-# formation id, agents/layer, tick interval — is integral and < 2^24, so the
-# float round-trip is lossless even in float32).
+# Kind "i" marks int32 leaves, stored as exact floats.  The packed table is
+# ALWAYS float32 — it is internal playback state, never observation data —
+# because the int leaves are only losslessly representable at f32 precision
+# (< 2^24): with a bfloat16 env dtype, 122 of the 201 possible interval
+# values (400-600 ticks) would corrupt on a bf16 round-trip and silently
+# diverge event timing from the int32 oracle path.  Float leaves are cast
+# back to the env dtype at unpack.
 _EVENT_SPEC = (
     ("goals", ("n", 3), "f"),
     ("formation", (), "i"),
@@ -159,8 +163,8 @@ def event_table_width(n: int) -> int:
     return total
 
 
-def _pack_event_rows(rows: dict, num_slots: int, dtype) -> jax.Array:
-    """Pack per-slot event outcomes into ONE flat (num_slots * D,) vector.
+def _pack_event_rows(rows: dict, num_slots: int) -> jax.Array:
+    """Pack per-slot event outcomes into ONE flat (num_slots * D,) f32 vector.
 
     Why packed: the natural per-leaf tables ((K, N, 3) goals, (K, 3, 3)
     Bezier nodes, ...) have tiny minor dimensions, which TPU tiling pads to
@@ -168,15 +172,18 @@ def _pack_event_rows(rows: dict, num_slots: int, dtype) -> jax.Array:
     playback read measured ~8M SPS (~95 us) on the 8-drone mix.  One flat
     float vector per env keeps the whole table in dense lanes: the playback
     select chain reads each (E, K*D) tile once.
+
+    Always float32 regardless of env dtype (see _EVENT_SPEC comment).
     """
     parts = []
     for name, shape_spec, _ in _EVENT_SPEC:
-        parts.append(rows[name].reshape(num_slots, -1).astype(dtype))
+        parts.append(rows[name].reshape(num_slots, -1).astype(jnp.float32))
     return jnp.concatenate(parts, axis=-1).reshape(-1)
 
 
-def _unpack_event_row(sel: jax.Array, n: int):
-    """Split a selected (..., D) packed row back into typed leaves."""
+def _unpack_event_row(sel: jax.Array, n: int, dtype):
+    """Split a selected (..., D) packed f32 row back into typed leaves
+    ("i" → int32, "f" → the env dtype)."""
     out = {}
     off = 0
     for name, shape_spec, kind in _EVENT_SPEC:
@@ -185,7 +192,7 @@ def _unpack_event_row(sel: jax.Array, n: int):
         for s in shape:
             sz *= s
         val = sel[..., off:off + sz].reshape(sel.shape[:-1] + shape)
-        out[name] = val.astype(jnp.int32) if kind == "i" else val
+        out[name] = val.astype(jnp.int32 if kind == "i" else dtype)
         off += sz
     return out
 
@@ -439,7 +446,7 @@ def scenario_reset(cfg: ScenarioConfig, key: jax.Array, mode: jax.Array,
         events=jnp.zeros(
             ((num_slots or num_event_slots(cfg, allowed_modes))
              * event_table_width(n),),
-            dtype),
+            jnp.float32),   # always f32 — see _EVENT_SPEC comment
     )
 
     def reset_lissajous(st):
@@ -641,7 +648,6 @@ def presample_events(cfg: ScenarioConfig, st: ScenarioState,
     playback stops at the last fired event); their values are arbitrary but
     well-defined (the chain keeps stepping).
     """
-    dtype = st.goals.dtype
     mode = st.mode
     f = cfg.control_freq
     interval0 = jnp.maximum(st.interval, 1)
@@ -674,7 +680,7 @@ def presample_events(cfg: ScenarioConfig, st: ScenarioState,
 
     num_slots = st.events.shape[0] // event_table_width(cfg.num_agents)
     _, rows = jax.lax.scan(slot, st, jnp.arange(num_slots, dtype=jnp.int32))
-    return _pack_event_rows(rows, num_slots, dtype)
+    return _pack_event_rows(rows, num_slots)
 
 
 # ---------------------------------------------------------------------------
@@ -1090,7 +1096,7 @@ def batched_scenario_step(cfg: ScenarioConfig, sts: ScenarioState,
     for j in range(1, k_slots):
         m = (row == j)[:, None]
         sel = jnp.where(m, sts.events[:, j * d:(j + 1) * d], sel)
-    row_leaves = _unpack_event_row(sel, cfg.num_agents)
+    row_leaves = _unpack_event_row(sel, cfg.num_agents, sts.goals.dtype)
 
     bmask = lambda m, a: m.reshape(m.shape + (1,) * (a.ndim - 1))
     merged = fast.replace(**{

@@ -23,6 +23,12 @@ TPU-native form:
 
 Replacement/mutation (`pbt_round`) ranks policies by mean true_reward of
 their agents at episode ends and copies [P]-slices of the stacked pytrees.
+
+The collision experience-replay curriculum (env/replay.py) composes with the
+mixed rollout exactly as in sync PPO: the reference wraps the env in
+ExperienceReplayWrapper irrespective of PBT (env_wrappers/quad_utils.py:68),
+so `--replay_buffer_sample_prob=0.75` — inherited by the flagship PBT CLI —
+must (and does) drive `batched_replay_step` here too.
 """
 from __future__ import annotations
 
@@ -63,14 +69,25 @@ def _select_policy(outs, assignment_flat, num_policies):
 def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
                   ppo_cfg: PPOConfig, num_policies: int, stacked_params,
                   env_states, obs, assignment, coeff_stack: RewardCoeffs,
-                  key):
+                  key, replay_states=None):
     """T-step rollout of one shared env batch under P policies.
 
     coeff_stack leaves are (P,)-shaped; each env's rew_coeff becomes the
     (N,)-leaved gather by that env's agent assignments.
+
+    With ppo_cfg.replay_sample_prob > 0 the step runs through the collision
+    experience-replay wrapper (env/replay.batched_replay_step) — the
+    reference applies ExperienceReplayWrapper regardless of PBT
+    (swarm_rl/env_wrappers/quad_utils.py:68), and its flagship PBT CLI
+    inherits --replay_buffer_sample_prob=0.75
+    (runs/obstacles/quad_obstacle_baseline.py:10).  Replayed episodes keep
+    the current rew_coeff; the post-step assignment resample + coeff push
+    applies to replayed and fresh episodes alike (SF resamples policy
+    assignment per episode either way).
     """
     e, n = assignment.shape
     p_count = num_policies
+    use_replay = ppo_cfg.replay_sample_prob > 0.0 and replay_states is not None
 
     def push_coeffs(env_states, assignment):
         # Non-mutated RewardCoeffs fields are scalar defaults — broadcast
@@ -84,7 +101,7 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     env_states = push_coeffs(env_states, assignment)
 
     def step_fn(carry, step_key):
-        env_states, obs, assignment = carry
+        env_states, replay_states, obs, assignment = carry
         k_act, k_env, k_assign = jax.random.split(step_key, 3)
         flat_obs = obs.reshape(e * n, -1)
         mean, log_std, value = jax.vmap(
@@ -98,8 +115,15 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         log_prob = gaussian_log_prob(mean, log_std, actions)
         actions_e = actions.reshape(e, n, -1)
         env_keys = jax.random.split(k_env, e)
-        new_states, next_obs, rew, dones, info = batched_env_step(
-            env_cfg, dyn_params, env_states, actions_e, env_keys)
+        if use_replay:
+            from quadswarm_tpu.env.replay import batched_replay_step
+            new_states, replay_states, next_obs, rew, dones, info = \
+                batched_replay_step(env_cfg, dyn_params,
+                                    ppo_cfg.replay_sample_prob, env_states,
+                                    replay_states, actions_e, env_keys)
+        else:
+            new_states, next_obs, rew, dones, info = batched_env_step(
+                env_cfg, dyn_params, env_states, actions_e, env_keys)
         t = MixedTransition(obs=obs, actions=actions_e,
                             log_prob=log_prob.reshape(e, n),
                             value=value.reshape(e, n),
@@ -111,17 +135,18 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         fresh = jax.random.randint(k_assign, (e, n), 0, p_count)
         assignment = jnp.where(done_env[:, None], fresh, assignment)
         new_states = push_coeffs(new_states, assignment)
-        return (new_states, next_obs, assignment), (t, info)
+        return (new_states, replay_states, next_obs, assignment), (t, info)
 
     keys = jax.random.split(key, ppo_cfg.rollout)
-    (env_states, obs, assignment), (traj, infos) = jax.lax.scan(
-        step_fn, (env_states, obs, assignment), keys)
+    (env_states, replay_states, obs, assignment), (traj, infos) = jax.lax.scan(
+        step_fn, (env_states, replay_states, obs, assignment), keys)
     flat_obs = obs.reshape(e * n, -1)
     values = jax.vmap(lambda p: model.apply(p, flat_obs)[2].astype(
         jnp.float32))(stacked_params)
     last_value = _select_policy(values.reshape(p_count, e * n),
                                 assignment.reshape(e * n), p_count)
-    return env_states, obs, assignment, traj, last_value.reshape(e, n), infos
+    return (env_states, replay_states, obs, assignment, traj,
+            last_value.reshape(e, n), infos)
 
 
 def masked_ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch,
@@ -161,13 +186,15 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
                           model: ActorCritic, ppo_cfg: PPOConfig,
                           num_policies: int, tx, stacked_params,
                           stacked_opt, env_states, obs, assignment,
-                          coeff_stack: RewardCoeffs, key):
+                          replay_states, coeff_stack: RewardCoeffs, key):
     """One iteration: shared rollout, then a vmapped masked update per
     policy (same minibatch permutation for every policy)."""
     k_roll, k_perm = jax.random.split(key)
-    env_states, obs, assignment, traj, last_value, infos = mixed_rollout(
+    (env_states, replay_states, obs, assignment, traj, last_value,
+     infos) = mixed_rollout(
         env_cfg, dyn_params, model, ppo_cfg, num_policies, stacked_params,
-        env_states, obs, assignment, coeff_stack, k_roll)
+        env_states, obs, assignment, coeff_stack, k_roll,
+        replay_states=replay_states)
     advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
                                       ppo_cfg.gae_lambda)
 
@@ -210,7 +237,7 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
     metrics["pbt/objective"] = obj
     metrics["pbt/episodes"] = jnp.einsum("tenp->p", w)
     return (stacked_params, stacked_opt, env_states, obs, assignment,
-            metrics, infos)
+            replay_states, metrics, infos)
 
 
 class MixedPBTRunner:
@@ -262,6 +289,29 @@ class MixedPBTRunner:
             out_shardings=bsh)(env_keys)
         self.assignment = jax.device_put(jax.random.randint(
             k_assign, (ppo_cfg.num_envs, env_cfg.num_agents), 0, p_count), bsh)
+        if ppo_cfg.replay_sample_prob > 0.0:
+            # Collision experience replay composes with mixed PBT: the
+            # reference wraps the env irrespective of PBT
+            # (env_wrappers/quad_utils.py:68) and its flagship PBT CLI sets
+            # --replay_buffer_sample_prob=0.75.  Same zero-template pattern
+            # as ppo.Trainer (ring slots are never read before written).
+            from quadswarm_tpu.env.replay import init_replay_state
+            tmpl_sd, _ = jax.eval_shape(
+                lambda k: env_reset(env_cfg, dyn_params, k), env_keys[0])
+            template = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tmpl_sd)
+            # Mixed PBT runs with per-agent (N,)-shaped rew_coeff leaves
+            # (push_coeffs), so the ring template must match that shape.
+            template = template.replace(rew_coeff=jax.tree.map(
+                lambda c: jnp.zeros((env_cfg.num_agents,), c.dtype),
+                template.rew_coeff))
+            self.replay_states = jax.device_put(
+                jax.vmap(lambda _: init_replay_state(template))(
+                    jnp.arange(ppo_cfg.num_envs)), bsh)
+            replay_sh = bsh
+        else:
+            self.replay_states = None
+            replay_sh = rsh  # empty pytree; spec is inert
         base = dict(base_rew_coeff) if base_rew_coeff else dict(
             quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
         self.coeffs = [dict(base) for _ in range(p_count)]
@@ -270,8 +320,8 @@ class MixedPBTRunner:
         self._iter = jax.jit(
             functools.partial(mixed_train_iteration, env_cfg, dyn_params,
                               model, ppo_cfg, p_count, self.tx),
-            in_shardings=(rsh, rsh, bsh, bsh, bsh, rsh, rsh),
-            donate_argnums=(0, 1, 2, 3, 4))
+            in_shardings=(rsh, rsh, bsh, bsh, bsh, replay_sh, rsh, rsh),
+            donate_argnums=(0, 1, 2, 3, 4, 5))
 
     def _coeff_stack(self) -> RewardCoeffs:
         stacked = {k: jnp.asarray([c.get(k, 0.0) for c in self.coeffs],
@@ -283,9 +333,9 @@ class MixedPBTRunner:
     def iteration(self):
         self.key, k = jax.random.split(self.key)
         (self.params, self.opt_state, self.env_states, self.obs,
-         self.assignment, metrics, infos) = self._iter(
+         self.assignment, self.replay_states, metrics, infos) = self._iter(
             self.params, self.opt_state, self.env_states, self.obs,
-            self.assignment, self._coeff_stack(), k)
+            self.assignment, self.replay_states, self._coeff_stack(), k)
         self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
                            * self.env_cfg.num_agents)
         obj = np.asarray(jax.device_get(metrics["pbt/objective"]))

@@ -112,7 +112,7 @@ def run_eval(args) -> dict:
             if live is not None:
                 live.update(int(state.tick), state.dyn.pos,
                             state.scenario.goals, state.prev_coll_ids,
-                            vel=state.dyn.vel, acc=state.dyn.accelerometer)
+                            vel=state.dyn.vel, acc=state.dyn.acc)
             ep_reward += np.asarray(rew)
             done = bool(dones[0])
             if done:

@@ -37,7 +37,11 @@ class TrajectoryRecorder:
         self.goals.append(np.asarray(state.scenario.goals))
         self.collisions.append(np.asarray(state.prev_coll_ids))
         self.vel.append(np.asarray(state.dyn.vel))
-        self.acc.append(np.asarray(state.dyn.accelerometer))
+        # World-frame net acceleration, like the reference viewer's dyn.acc
+        # (quadrotor_multi_visualization.py:450) — NOT the body-frame
+        # accelerometer, whose components are wrong on world axes for
+        # tilted drones.
+        self.acc.append(np.asarray(state.dyn.acc))
         if reward is not None:
             self.rewards.append(np.asarray(reward))
         if obs is not None:
@@ -90,9 +94,10 @@ def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
     views — the live side-panel of the reference's V_ValueMapWrapper.render
     (swarm_rl/env_wrappers/v_value_map.py:28-37).
 
-    `vel` / `acc` (N, 3) draw per-drone velocity (red) and accelerometer
-    (green) arrow glyphs, the reference viewer's vel/acc arrows
-    (quadrotor_visualization.py:91-150 arrow nodes, update at :341-365).
+    `vel` / `acc` (N, 3) draw per-drone velocity (red) and world-frame
+    acceleration (green) arrow glyphs, the reference viewer's vel/acc arrows
+    (quadrotor_visualization.py:91-150 arrow nodes;
+    quadrotor_multi_visualization.py:426-458 vel/acc updates from dyn.acc).
 
     Renders on a private offscreen Agg canvas (matplotlib.figure.Figure, not
     pyplot), so it never switches the global backend — a LiveRenderer's
@@ -117,16 +122,20 @@ def render_frame(pos, goals, collisions, room_dims=(10.0, 10.0, 10.0),
                 ax.plot(tr[:, 0], tr[:, 1], tr[:, 2],
                         color=QUAD_COLORS[i % len(QUAD_COLORS)], alpha=0.3,
                         linewidth=0.8)
-        # vel/acc arrows: lengths scale like the reference's arrow nodes
-        # (quadrotor_visualization.py:341-365: vel/4, (acc-g)/8 capped)
+        # vel/acc arrows.  `acc` is WORLD-frame net acceleration (dyn.acc),
+        # matching the reference viewer's arrow source
+        # (quadrotor_multi_visualization.py:446-458: averages dyn.acc and
+        # scales magnitude /3); lengths here use vel/4, acc/8 with a 1 m cap
+        # so arrows stay readable at the matplotlib panel scale.
         if vel is not None:
             v = np.asarray(vel) / 4.0
             ax.quiver(pos[:, 0], pos[:, 1], pos[:, 2],
                       v[:, 0], v[:, 1], v[:, 2], color="r", alpha=0.7,
                       linewidth=1.0, arrow_length_ratio=0.25)
         if acc is not None:
-            a = np.asarray(acc) - np.array([0.0, 0.0, 9.81])
-            a = a / 8.0
+            a = np.asarray(acc) / 8.0
+            norm = np.linalg.norm(a, axis=-1, keepdims=True)
+            a = a * np.minimum(1.0, 1.0 / np.maximum(norm, 1e-9))
             ax.quiver(pos[:, 0], pos[:, 1], pos[:, 2],
                       a[:, 0], a[:, 1], a[:, 2], color="g", alpha=0.7,
                       linewidth=1.0, arrow_length_ratio=0.25)

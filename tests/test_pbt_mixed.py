@@ -81,6 +81,56 @@ def test_mixed_pbt_on_8_device_mesh_with_replacement():
     assert np.all(np.isfinite(np.asarray(jax.device_get(metrics["loss"]))))
 
 
+def test_mixed_pbt_with_collision_replay_writes_and_replays():
+    """The reference's flagship PBT CLI inherits
+    --replay_buffer_sample_prob=0.75 (runs/obstacles/quad_obstacle_baseline
+    .py:10) and applies ExperienceReplayWrapper regardless of PBT
+    (env_wrappers/quad_utils.py:68).  Under mixed PBT the replay machinery
+    must actually run: ring writes happen after a forced mid-air collision
+    and the following episode end replays a buffered state."""
+    env_cfg = EnvConfig(num_agents=2, ep_time=4.0,
+                        neighbor_obs_type="pos_vel", neighbor_visible_num=1,
+                        quads_mode="static_same_goal", dtype=jnp.float32)
+    ppo_cfg = PPOConfig(rollout=8, batch_size=16, num_envs=2,
+                        replay_sample_prob=1.0)
+    model = ActorCritic(self_obs_dim=18, neighbor_obs_dim=6, num_neighbors=1,
+                        encoder_type="corl", neighbor_encoder_type="attention",
+                        rnn_size=16, neighbor_hidden=16)
+    dyn = make_dynamics_params()
+    pbt_cfg = PBTConfig(num_policies=2, replace_fraction=0.5,
+                        mutation_rate=1.0, replace_reward_gap=0.0)
+    r = MixedPBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg, seed=0)
+    assert r.replay_states is not None
+    # Open the can-fly gate so checkpointing starts immediately
+    r.replay_states = r.replay_states.replace(
+        activated=jnp.ones_like(r.replay_states.activated))
+    saw_buffer_entry = saw_replay = False
+    # ep_len = 400 ticks, rollout = 8 -> ~60 iterations spans one episode
+    # plus the replayed follow-up
+    for it in range(60):
+        tick = int(np.max(np.asarray(jax.device_get(r.env_states.tick))))
+        if tick > 160 and not saw_buffer_entry:
+            # Teleport both drones together mid-air (past the 1.5 s grace
+            # with >= 3 checkpoints written) -> guaranteed collision event
+            pos = jnp.broadcast_to(
+                jnp.asarray([[0.0, 0.0, 3.0], [0.05, 0.0, 3.0]],
+                            env_cfg.dtype), (2, 2, 3))
+            r.env_states = r.env_states.replace(
+                dyn=r.env_states.dyn.replace(pos=pos))
+        r.iteration()   # `activated` is sticky-true, so the gate stays open
+        rs = jax.device_get(r.replay_states)
+        if int(np.max(np.asarray(rs.buffer_count))) > 0:
+            saw_buffer_entry = True
+        if bool(np.any(np.asarray(rs.saved_in_replay_buffer))):
+            saw_replay = True
+        if saw_buffer_entry and saw_replay:
+            break
+    assert saw_buffer_entry, \
+        "no replay-ring write occurred under mixed PBT"
+    assert saw_replay, \
+        "no episode replayed a buffered state despite sample_prob=1"
+
+
 def test_mixed_pbt_round_replaces_and_mutates():
     r = _runner()
     r.iteration()

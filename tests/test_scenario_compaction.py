@@ -22,7 +22,7 @@ from quadswarm_tpu.env.scenarios import (
 
 
 def _lockstep_episode(scfg, modes, obst_active, obst_centers, seed,
-                      num_ticks=None):
+                      num_ticks=None, dtype=jnp.float32):
     """Reset a batch, then advance it tick-by-tick through (a) the vmapped
     full-switch oracle and (b) the fused+table playback path; return both
     final states and per-tick (goals, formation_size, bezier_nodes)
@@ -30,7 +30,7 @@ def _lockstep_episode(scfg, modes, obst_active, obst_centers, seed,
     e = modes.shape[0]
     keys = jax.random.split(jax.random.PRNGKey(seed), e)
     st0 = jax.vmap(
-        lambda k, m, oa, oc: scenario_reset(scfg, k, m, oa, oc, jnp.float32)
+        lambda k, m, oa, oc: scenario_reset(scfg, k, m, oa, oc, dtype)
     )(keys, modes, obst_active, obst_centers)
     ep_len = int(scfg.ep_time * scfg.control_freq)
     ticks = jnp.arange(1, (num_ticks or ep_len) + 1, dtype=jnp.int32)
@@ -54,7 +54,7 @@ def _lockstep_episode(scfg, modes, obst_active, obst_centers, seed,
 
 
 def _assert_lockstep(scfg, modes, obst_active, obst_centers, seed,
-                     num_ticks=None, exact=True):
+                     num_ticks=None, exact=True, dtype=jnp.float32):
     """exact=True: bit-identical (the event-playback guarantee).  exact=False
     allows ULP-scale drift on float leaves: the fused continuous phase and
     the vmapped switch are different XLA programs, and FMA contraction is
@@ -63,7 +63,7 @@ def _assert_lockstep(scfg, modes, obst_active, obst_centers, seed,
     outcomes themselves are exact in both cases (table rows are selected, not
     recomputed)."""
     full_fin, full_traj, play_fin, play_traj = _lockstep_episode(
-        scfg, modes, obst_active, obst_centers, seed, num_ticks)
+        scfg, modes, obst_active, obst_centers, seed, num_ticks, dtype)
 
     def cmp(a, b, msg):
         a, b = np.asarray(a), np.asarray(b)
@@ -102,6 +102,28 @@ def test_playback_matches_full_episode_free_space():
     scfg, oa, oc = _free_space_args(e)
     modes = jnp.asarray([MODE_IDS[m] for m in mode_names] * 2, jnp.int32)
     _assert_lockstep(scfg, modes, oa, oc, seed=0)
+
+
+def test_event_table_exact_under_bfloat16_env_dtype():
+    """ADVICE r4 (medium): with a bfloat16 env dtype the packed event table
+    must NOT round int leaves through bf16 — 122 of the 201 possible
+    interval values (400-600 ticks) corrupt on a bf16 float round-trip,
+    silently diverging all event timing after the first playback merge.
+    The table is stored float32 always (scenarios._pack_event_rows); a
+    bf16-dtype episode through interval-event modes must stay bit-lockstep
+    with the int32 oracle path."""
+    mode_names = ("dynamic_same_goal", "swap_goals", "run_away",
+                  "dynamic_diff_goal")
+    e = 2 * len(mode_names)
+    scfg, oa, oc = _free_space_args(e)
+    modes = jnp.asarray([MODE_IDS[m] for m in mode_names] * 2, jnp.int32)
+    _assert_lockstep(scfg, modes, oa, oc, seed=3, dtype=jnp.bfloat16)
+    # and the table dtype itself is pinned to f32
+    st = scenario_reset(scfg, jax.random.PRNGKey(0),
+                        jnp.int32(MODE_IDS["dynamic_same_goal"]),
+                        oa[0], oc[0], jnp.bfloat16)
+    assert st.events.dtype == jnp.float32
+    assert st.goals.dtype == jnp.bfloat16
 
 
 def test_playback_continuous_modes_ulp_drift_only():
