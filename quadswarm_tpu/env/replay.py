@@ -296,71 +296,82 @@ def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
         out_states = out_states.replace(gyro_bias=gyro)
     did_replay = info.pop("replay/did_replay")
 
-    # Deferred checkpoint-ring writes: the per-env ring update rewrites the
-    # whole (E, slots, ...) rings, so apply it only on the rare ticks where
-    # any env actually writes (see replay_step docstring).
+    # Deferred slow-tick work — ring writes, replay-state selection, and
+    # fresh resets — behind ONE outer lax.cond.  A data-dependent cond is
+    # not free even when its branch is a no-op: the scalar core must wait
+    # for the reduced predicate before dispatching the branch, a fixed
+    # ~90 us pipeline bubble per cond per tick on v5e (measured — three
+    # separate conds cost the train rollout ~52 ms/iter at 1024 envs while
+    # shrinking the rings 6x moved nothing, so the cost is the bubbles, not
+    # the ring traffic; docs/PERF.md round-5).  One outer cond pays one
+    # bubble per tick like the plain path; the replay/reset branches nest
+    # INSIDE it, so their extra bubbles and bodies only run on the rare
+    # fire ticks (checkpoint cadence, collision writes, episode ends).
     save_cp = info.pop("replay/_save_cp")
     cp_slot = info.pop("replay/_cp_slot")
     can_write = info.pop("replay/_can_write")
     buf_slot = info.pop("replay/_buf_slot")
     buf_read_slot = info.pop("replay/_buf_read_slot")
     choice_idx = info.pop("replay/_choice_idx")
-
-    def apply_writes(rings):
-        ep, buf = rings
-        ep = _write_slots_batched(save_cp, ep, cp_slot, out_states)
-        # The 1.5s-ago checkpoint: read slot never equals this tick's write
-        # slot (see replay_step), so reading the pre-write ring is identical.
-        buf_item = jax.vmap(_read_slot)(out_rstates.ep_checkpoints,
-                                        buf_read_slot)
-        buf = _write_slots_batched(can_write, buf, buf_slot, buf_item)
-        return ep, buf
-
-    ep_ring, buf_ring = jax.lax.cond(
-        jnp.any(save_cp) | jnp.any(can_write), apply_writes, lambda r: r,
-        (out_rstates.ep_checkpoints, out_rstates.buffer))
-    out_rstates = out_rstates.replace(ep_checkpoints=ep_ring, buffer=buf_ring)
-
-    # Deferred replay-state selection: buffer read + replayed-state obs only
-    # on episode-boundary ticks (do_replay requires done).
-    k_obs = jax.vmap(lambda k: jax.random.split(k, 4)[3])(keys)
-
-    def apply_replay(args):
-        sts, ob = args
-        replay_env = jax.vmap(_read_slot)(buf_ring, choice_idx)
-        z = jnp.zeros(choice_idx.shape, jnp.int32)
-        replay_env = replay_env.replace(
-            collisions_per_episode=z, collisions_after_settle=z,
-            obst_collisions_per_episode=z, obst_collisions_after_settle=z,
-            rew_coeff=sts.rew_coeff)
-        robs = jax.vmap(
-            lambda s, k: _compute_obs(cfg, s.dyn, s.scenario.goals,
-                                      s.gyro_bias, k, s.obst_active,
-                                      s.obst_pos, s.obst_size)[0]
-        )(replay_env, k_obs)
-        return (_select_done(did_replay, replay_env, sts),
-                _select_done(did_replay, robs, ob))
-
-    out_states, obs = jax.lax.cond(jnp.any(did_replay), apply_replay,
-                                   lambda args: args, (out_states, obs))
     done_env = jnp.any(dones, axis=-1)
     needs_reset = done_env & ~did_replay
+    k_obs = jax.vmap(lambda k: jax.random.split(k, 4)[3])(keys)
     reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+    # did_replay and needs_reset both imply done, so done_env covers them.
+    fire = jnp.any(save_cp) | jnp.any(can_write) | jnp.any(done_env)
 
-    def do_reset(args):
-        out_states, obs = args
-        # Fresh (non-replayed) episodes resample obstacle density/size when
-        # domain randomization is on (quad_experience_replay.py:198-204)
-        reset_states, reset_obs = jax.vmap(
-            lambda k, s: env_reset(
-                cfg, params, k, rew_coeff=s.rew_coeff,
-                obst_density=(None if cfg.obst_density_random
-                              else s.obst_density),
-                obst_size=None if cfg.obst_size_random else s.obst_size)
-        )(reset_keys, out_states)
-        return (_select_done(needs_reset, reset_states, out_states),
-                _select_done(needs_reset, reset_obs, obs))
+    def slow_path(args):
+        out_states, obs, ep_ring, buf_ring = args
+        # Masked ring writes (no-op by value when no env fires this tick;
+        # the whole-ring rewrite only happens on fire ticks at all).
+        ep_ring = _write_slots_batched(save_cp, ep_ring, cp_slot, out_states)
+        # The 1.5s-ago checkpoint: read slot never equals this tick's write
+        # slot (see replay_step), so reading the pre-write ring is identical.
+        buf_item = jax.vmap(_read_slot)(ep_ring, buf_read_slot)
+        buf_ring = _write_slots_batched(can_write, buf_ring, buf_slot,
+                                        buf_item)
 
-    out_states, obs = jax.lax.cond(jnp.any(needs_reset), do_reset,
-                                   lambda args: args, (out_states, obs))
+        def apply_replay(args):
+            sts, ob = args
+            replay_env = jax.vmap(_read_slot)(buf_ring, choice_idx)
+            z = jnp.zeros(choice_idx.shape, jnp.int32)
+            replay_env = replay_env.replace(
+                collisions_per_episode=z, collisions_after_settle=z,
+                obst_collisions_per_episode=z,
+                obst_collisions_after_settle=z,
+                rew_coeff=sts.rew_coeff)
+            robs = jax.vmap(
+                lambda s, k: _compute_obs(cfg, s.dyn, s.scenario.goals,
+                                          s.gyro_bias, k, s.obst_active,
+                                          s.obst_pos, s.obst_size)[0]
+            )(replay_env, k_obs)
+            return (_select_done(did_replay, replay_env, sts),
+                    _select_done(did_replay, robs, ob))
+
+        out_states, obs = jax.lax.cond(jnp.any(did_replay), apply_replay,
+                                       lambda a: a, (out_states, obs))
+
+        def do_reset(args):
+            out_states, obs = args
+            # Fresh (non-replayed) episodes resample obstacle density/size
+            # when domain randomization is on
+            # (quad_experience_replay.py:198-204)
+            reset_states, reset_obs = jax.vmap(
+                lambda k, s: env_reset(
+                    cfg, params, k, rew_coeff=s.rew_coeff,
+                    obst_density=(None if cfg.obst_density_random
+                                  else s.obst_density),
+                    obst_size=None if cfg.obst_size_random else s.obst_size)
+            )(reset_keys, out_states)
+            return (_select_done(needs_reset, reset_states, out_states),
+                    _select_done(needs_reset, reset_obs, obs))
+
+        out_states, obs = jax.lax.cond(jnp.any(needs_reset), do_reset,
+                                       lambda a: a, (out_states, obs))
+        return out_states, obs, ep_ring, buf_ring
+
+    out_states, obs, ep_ring, buf_ring = jax.lax.cond(
+        fire, slow_path, lambda a: a,
+        (out_states, obs, out_rstates.ep_checkpoints, out_rstates.buffer))
+    out_rstates = out_rstates.replace(ep_checkpoints=ep_ring, buffer=buf_ring)
     return out_states, out_rstates, obs, rew, dones, info

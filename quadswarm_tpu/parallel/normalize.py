@@ -60,6 +60,30 @@ class RunningMeanStd:
               + delta ** 2 * self.count * batch_count / total)
         return self.replace(mean=new_mean, var=m2 / total, count=total)
 
+    def update_masked(self, x: jax.Array, w: jax.Array) -> "RunningMeanStd":
+        """Fold only the rows of `x` with weight 1 in `w` into the stats.
+
+        `x` is (B,) + mean.shape, `w` is (B,) in {0, 1}.  Equals `update()`
+        restricted to the selected rows (weighted batch moments into the
+        same Chan combine); with no selected rows the stats are unchanged.
+        Used by mixed-policy PBT, where each policy's normalizer sees only
+        its own agents' samples from the shared env batch."""
+        x = x.astype(self.mean.dtype)
+        w = w.astype(self.mean.dtype)
+        batch_count = jnp.sum(w)
+        denom = jnp.maximum(batch_count, 1.0)
+        wb = w.reshape(w.shape + (1,) * self.mean.ndim)
+        batch_mean = jnp.sum(wb * x, axis=0) / denom
+        batch_var = jnp.sum(wb * (x - batch_mean) ** 2, axis=0) / denom
+        delta = batch_mean - self.mean
+        total = self.count + batch_count
+        new_mean = self.mean + delta * batch_count / total
+        m2 = (self.var * self.count + batch_var * batch_count
+              + delta ** 2 * self.count * batch_count / total)
+        new = self.replace(mean=new_mean, var=m2 / total, count=total)
+        empty = batch_count == 0
+        return jax.tree.map(lambda a, b: jnp.where(empty, a, b), self, new)
+
     def std(self) -> jax.Array:
         return jnp.sqrt(self.var + 1e-8)
 

@@ -29,6 +29,13 @@ mixed rollout exactly as in sync PPO: the reference wraps the env in
 ExperienceReplayWrapper irrespective of PBT (env_wrappers/quad_utils.py:68),
 so `--replay_buffer_sample_prob=0.75` — inherited by the flagship PBT CLI —
 must (and does) drive `batched_replay_step` here too.
+
+Input/return normalization (SF --normalize_input / --normalize_returns)
+composes as a STACKED per-policy NormalizerState: each policy standardizes
+observations with its own running stats (fed only by its agents' samples
+via RunningMeanStd.update_masked), denormalizes its own value predictions,
+and the normalizer slice follows the weights on PBT replacement and rides
+each per-policy checkpoint's `extra` payload.
 """
 from __future__ import annotations
 
@@ -44,6 +51,9 @@ from quadswarm_tpu.env.multi import EnvConfig, batched_env_step, env_reset
 from quadswarm_tpu.env.reward import RewardCoeffs
 from quadswarm_tpu.models.actor_critic import (
     ActorCritic, gaussian_entropy, gaussian_log_prob, sample_actions,
+)
+from quadswarm_tpu.parallel.normalize import (
+    NormalizerState, denormalize_value, make_norm_state, normalize_obs,
 )
 from quadswarm_tpu.parallel.ppo import (
     PPOConfig, compute_gae, shuffled_minibatches,
@@ -69,11 +79,20 @@ def _select_policy(outs, assignment_flat, num_policies):
 def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
                   ppo_cfg: PPOConfig, num_policies: int, stacked_params,
                   env_states, obs, assignment, coeff_stack: RewardCoeffs,
-                  key, replay_states=None):
+                  key, replay_states=None,
+                  norm: NormalizerState | None = None):
     """T-step rollout of one shared env batch under P policies.
 
     coeff_stack leaves are (P,)-shaped; each env's rew_coeff becomes the
     (N,)-leaved gather by that env's agent assignments.
+
+    `norm` (optional) is a STACKED per-policy NormalizerState (leading [P]
+    axis): each policy head sees observations standardized with ITS OWN
+    running stats, and its value predictions denormalize with its own
+    return stats — the per-policy reading of SF's --normalize_input /
+    --normalize_returns under --pbt_mix_policies_in_one_env.  The P-way
+    normalize rides the existing all-heads vmap, so it costs one extra
+    elementwise pass per head, not a gather.
 
     With ppo_cfg.replay_sample_prob > 0 the step runs through the collision
     experience-replay wrapper (env/replay.batched_replay_step) — the
@@ -104,9 +123,14 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
         env_states, replay_states, obs, assignment = carry
         k_act, k_env, k_assign = jax.random.split(step_key, 3)
         flat_obs = obs.reshape(e * n, -1)
-        mean, log_std, value = jax.vmap(
-            lambda p: jax.tree.map(lambda x: x.astype(jnp.float32),
-                                   model.apply(p, flat_obs)))(stacked_params)
+
+        def head(p, nrm):
+            mean, log_std, value = model.apply(p, normalize_obs(nrm, flat_obs))
+            value = denormalize_value(nrm, value.astype(jnp.float32))
+            return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
+                    value)
+
+        mean, log_std, value = jax.vmap(head)(stacked_params, norm)
         sel = assignment.reshape(e * n)
         mean = _select_policy(mean, sel, p_count)
         log_std = _select_policy(log_std, sel, p_count)
@@ -141,8 +165,10 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
     (env_states, replay_states, obs, assignment), (traj, infos) = jax.lax.scan(
         step_fn, (env_states, replay_states, obs, assignment), keys)
     flat_obs = obs.reshape(e * n, -1)
-    values = jax.vmap(lambda p: model.apply(p, flat_obs)[2].astype(
-        jnp.float32))(stacked_params)
+    values = jax.vmap(
+        lambda p, nrm: denormalize_value(
+            nrm, model.apply(p, normalize_obs(nrm, flat_obs))[2].astype(
+                jnp.float32)))(stacked_params, norm)
     last_value = _select_policy(values.reshape(p_count, e * n),
                                 assignment.reshape(e * n), p_count)
     return (env_states, replay_states, obs, assignment, traj,
@@ -150,13 +176,20 @@ def mixed_rollout(env_cfg: EnvConfig, dyn_params: Any, model: ActorCritic,
 
 
 def masked_ppo_loss(model: ActorCritic, ppo_cfg: PPOConfig, params, batch,
-                    mask):
-    """PPO loss averaged over this policy's samples only (mask in {0,1})."""
+                    mask, norm: NormalizerState | None = None):
+    """PPO loss averaged over this policy's samples only (mask in {0,1}).
+
+    `norm` is THIS policy's normalizer slice: obs standardize with its
+    stats; with return normalization the critic learns in normalized
+    return space (targets + clip anchor moved there, as in ppo.ppo_loss)."""
     obs, actions, old_log_prob, old_value, advantages, returns = batch
-    mean, log_std, value = model.apply(params, obs)
+    mean, log_std, value = model.apply(params, normalize_obs(norm, obs))
     mean = mean.astype(jnp.float32)
     log_std = log_std.astype(jnp.float32)
     value = value.astype(jnp.float32)
+    if norm is not None and norm.ret is not None:
+        returns = norm.ret.normalize(returns, clip=None)
+        old_value = norm.ret.normalize(old_value, clip=None)
     log_prob = gaussian_log_prob(mean, log_std, actions)
     # Clamp the log-ratio: out-of-mask samples belong to OTHER policies, and
     # once policies diverge log_prob - old_log_prob can overflow exp to inf;
@@ -186,17 +219,35 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
                           model: ActorCritic, ppo_cfg: PPOConfig,
                           num_policies: int, tx, stacked_params,
                           stacked_opt, env_states, obs, assignment,
-                          replay_states, coeff_stack: RewardCoeffs, key):
+                          replay_states, norm, coeff_stack: RewardCoeffs,
+                          key):
     """One iteration: shared rollout, then a vmapped masked update per
-    policy (same minibatch permutation for every policy)."""
+    policy (same minibatch permutation for every policy).  `norm` is the
+    stacked per-policy NormalizerState (or None): each policy's stats fold
+    in only ITS agents' fresh rollout samples (update_masked), before SGD,
+    mirroring ppo.train_iteration's learner-side update."""
     k_roll, k_perm = jax.random.split(key)
     (env_states, replay_states, obs, assignment, traj, last_value,
      infos) = mixed_rollout(
         env_cfg, dyn_params, model, ppo_cfg, num_policies, stacked_params,
         env_states, obs, assignment, coeff_stack, k_roll,
-        replay_states=replay_states)
+        replay_states=replay_states, norm=norm)
     advantages, returns = compute_gae(traj, last_value, ppo_cfg.gamma,
                                       ppo_cfg.gae_lambda)
+
+    pids = jnp.arange(num_policies)
+    if norm is not None and (norm.obs is not None or norm.ret is not None):
+        assign_flat = traj.assignment.reshape(-1)
+        if norm.obs is not None:
+            obs_flat = traj.obs.reshape(-1, traj.obs.shape[-1])
+            norm = norm.replace(obs=jax.vmap(
+                lambda st, pid: st.update_masked(obs_flat, assign_flat == pid)
+            )(norm.obs, pids))
+        if norm.ret is not None:
+            ret_flat = returns.reshape(-1)
+            norm = norm.replace(ret=jax.vmap(
+                lambda st, pid: st.update_masked(ret_flat, assign_flat == pid)
+            )(norm.ret, pids))
 
     t_dim, e_dim, n_dim = traj.reward.shape
     tree = (traj.obs, traj.actions, traj.log_prob, traj.value,
@@ -206,13 +257,14 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
         ppo_cfg.batch_size, k_perm,
         groups=max(ppo_cfg.sgd_shuffle_groups, 1))
 
-    def update_policy(pid, params, opt_state):
+    def update_policy(pid, params, opt_state, nrm):
         def minibatch(carry, mb):
             params, opt_state = carry
             data, assign = mb
             mask = (assign == pid).astype(data[0].dtype)
             loss, grads = jax.value_and_grad(
-                lambda p: masked_ppo_loss(model, ppo_cfg, p, data, mask)
+                lambda p: masked_ppo_loss(model, ppo_cfg, p, data, mask,
+                                          norm=nrm)
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -222,9 +274,8 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
             minibatch, (params, opt_state), (batched, assign_mb))
         return params, opt_state, losses[-1]
 
-    pids = jnp.arange(num_policies)
     stacked_params, stacked_opt, losses = jax.vmap(update_policy)(
-        pids, stacked_params, stacked_opt)
+        pids, stacked_params, stacked_opt, norm)
     metrics = {"loss": losses, "reward_mean": jnp.mean(traj.reward)}
     # Per-policy episode objective: mean true_reward of a policy's agents at
     # episode ends this rollout (reward_shaping.py:79-86 true_reward)
@@ -237,7 +288,7 @@ def mixed_train_iteration(env_cfg: EnvConfig, dyn_params: Any,
     metrics["pbt/objective"] = obj
     metrics["pbt/episodes"] = jnp.einsum("tenp->p", w)
     return (stacked_params, stacked_opt, env_states, obs, assignment,
-            replay_states, metrics, infos)
+            replay_states, norm, metrics, infos)
 
 
 class MixedPBTRunner:
@@ -312,6 +363,16 @@ class MixedPBTRunner:
         else:
             self.replay_states = None
             replay_sh = rsh  # empty pytree; spec is inert
+        if ppo_cfg.normalize_input or ppo_cfg.normalize_returns:
+            # Per-policy normalizers: one stacked [P] RunningMeanStd set,
+            # each policy's stats fed only by its own agents' samples.
+            self.norm_state = jax.device_put(jax.vmap(
+                lambda _: make_norm_state(ppo_cfg.normalize_input,
+                                          ppo_cfg.normalize_returns,
+                                          env_cfg.obs_dim))(
+                jnp.arange(p_count)), rsh)
+        else:
+            self.norm_state = None
         base = dict(base_rew_coeff) if base_rew_coeff else dict(
             quadcol_bin=5.0, quadcol_bin_smooth_max=10.0, quadcol_bin_obst=5.0)
         self.coeffs = [dict(base) for _ in range(p_count)]
@@ -320,8 +381,8 @@ class MixedPBTRunner:
         self._iter = jax.jit(
             functools.partial(mixed_train_iteration, env_cfg, dyn_params,
                               model, ppo_cfg, p_count, self.tx),
-            in_shardings=(rsh, rsh, bsh, bsh, bsh, replay_sh, rsh, rsh),
-            donate_argnums=(0, 1, 2, 3, 4, 5))
+            in_shardings=(rsh, rsh, bsh, bsh, bsh, replay_sh, rsh, rsh, rsh),
+            donate_argnums=(0, 1, 2, 3, 4, 5, 6))
 
     def _coeff_stack(self) -> RewardCoeffs:
         stacked = {k: jnp.asarray([c.get(k, 0.0) for c in self.coeffs],
@@ -333,9 +394,11 @@ class MixedPBTRunner:
     def iteration(self):
         self.key, k = jax.random.split(self.key)
         (self.params, self.opt_state, self.env_states, self.obs,
-         self.assignment, self.replay_states, metrics, infos) = self._iter(
+         self.assignment, self.replay_states, self.norm_state, metrics,
+         infos) = self._iter(
             self.params, self.opt_state, self.env_states, self.obs,
-            self.assignment, self.replay_states, self._coeff_stack(), k)
+            self.assignment, self.replay_states, self.norm_state,
+            self._coeff_stack(), k)
         self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
                            * self.env_cfg.num_agents)
         obj = np.asarray(jax.device_get(metrics["pbt/objective"]))
@@ -370,6 +433,10 @@ class MixedPBTRunner:
             self.opt_state = jax.tree.map(
                 lambda x: copy_slice(x) if hasattr(x, "at") else x,
                 self.opt_state)
+            if self.norm_state is not None:
+                # the adoptee's normalizer follows the weights it adopted
+                # (a policy's params are only meaningful under its stats)
+                self.norm_state = jax.tree.map(copy_slice, self.norm_state)
             mutated = dict(self.coeffs[t])
             for name in mutated:
                 if self.rng.random() < self.pbt_cfg.mutation_rate:
@@ -393,13 +460,20 @@ class MixedPBTRunner:
             checkpoint_dir, save_checkpoint,
         )
         params_h, opt_h = jax.device_get((self.params, self.opt_state))
+        norm_h = (jax.device_get(self.norm_state)
+                  if self.norm_state is not None else None)
         for p in range(self.num_policies):
             st = SimpleNamespace(
                 params=jax.tree.map(lambda x: x[p], params_h),
                 opt_state=jax.tree.map(lambda x: x[p], opt_h),
                 step=0)
+            # per-policy normalizer slice rides the `extra` payload, so
+            # enjoy/sim2real load mixed-PBT policies exactly like
+            # single-policy checkpoints (train.py resume path)
+            extra = (jax.tree.map(lambda x: x[p], norm_h)
+                     if norm_h is not None else None)
             save_checkpoint(checkpoint_dir(train_dir, experiment, p), st,
-                            self.env_steps, keep=keep)
+                            self.env_steps, keep=keep, extra=extra)
         meta = {"coeffs": self.coeffs, "env_steps": self.env_steps,
                 "objective_hist": [h[-50:] for h in self.objective_hist]}
         with open(os.path.join(train_dir, experiment, "pbt_state.json"),
@@ -421,6 +495,8 @@ class MixedPBTRunner:
         if any(pt is None for pt in paths):
             return False
         params_h, opt_h = jax.device_get((self.params, self.opt_state))
+        norm_h = (jax.device_get(self.norm_state)
+                  if self.norm_state is not None else None)
         for p, path in enumerate(paths):
             payload = load_checkpoint(path)
             tmpl_p = jax.tree.map(lambda x: x[p], params_h)
@@ -433,6 +509,12 @@ class MixedPBTRunner:
             self.opt_state = jax.tree.map(
                 lambda full, s: full.at[p].set(jnp.asarray(s)),
                 self.opt_state, so)
+            if norm_h is not None and "extra" in payload:
+                tmpl_n = jax.tree.map(lambda x: x[p], norm_h)
+                sn = serialization.from_state_dict(tmpl_n, payload["extra"])
+                self.norm_state = jax.tree.map(
+                    lambda full, s: full.at[p].set(jnp.asarray(s)),
+                    self.norm_state, sn)
             self.env_steps = int(payload["env_steps"])
         meta_path = os.path.join(train_dir, experiment, "pbt_state.json")
         if os.path.exists(meta_path):

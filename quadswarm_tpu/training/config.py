@@ -273,13 +273,9 @@ def _resolve_compat_flags(args) -> argparse.Namespace:
     if args.policy_initialization != "xavier_uniform":
         warnings.warn(f"policy_initialization={args.policy_initialization!r} "
                       "ignored; the model uses xavier_uniform")
-    if ((args.normalize_input or args.normalize_returns)
-            and args.with_pbt and args.pbt_mix_policies_in_one_env):
-        raise ValueError("--normalize_input/--normalize_returns are not "
-                         "supported with --pbt_mix_policies_in_one_env "
-                         "(per-policy normalizers over one shared env batch "
-                         "are not implemented; the reference PBT run uses "
-                         "neither)")
+    # --normalize_input/--normalize_returns compose with mixed-policy PBT:
+    # MixedPBTRunner keeps a stacked per-policy NormalizerState, each
+    # policy's stats fed only by its own agents (parallel/pbt_mixed.py).
     if (args.quads_obstacle_obs_type == "octomap"
             and not args.quads_use_obstacles):
         raise ValueError("--quads_obstacle_obs_type=octomap requires "

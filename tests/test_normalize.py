@@ -33,6 +33,35 @@ def test_running_mean_std_matches_full_batch_oracle():
     np.testing.assert_allclose(float(rms_s.mean), full.mean(), rtol=1e-4)
 
 
+def test_update_masked_equals_update_on_selected_rows():
+    """update_masked(x, w) == update(x[w == 1]) — the per-policy stats path
+    of mixed PBT (each policy folds in only its agents' samples); and an
+    all-zero mask leaves the stats untouched."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(-1.0, 1.5, (64, 3)).astype(np.float32)
+    w = (rng.random(64) < 0.4).astype(np.float32)
+    a = RunningMeanStd.create(3).update(jnp.asarray(x[:8]))  # warm start
+    masked = a.update_masked(jnp.asarray(x), jnp.asarray(w))
+    dense = a.update(jnp.asarray(x[w.astype(bool)]))
+    np.testing.assert_allclose(np.asarray(masked.mean), np.asarray(dense.mean),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(masked.var), np.asarray(dense.var),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(masked.count), float(dense.count))
+    # zero mask: no-op
+    z = a.update_masked(jnp.asarray(x), jnp.zeros(64))
+    np.testing.assert_array_equal(np.asarray(z.mean), np.asarray(a.mean))
+    np.testing.assert_array_equal(float(z.count), float(a.count))
+    # scalar-stat variant (return normalizer)
+    r = RunningMeanStd.create().update(jnp.asarray(x[:8, 0]))
+    masked_r = r.update_masked(jnp.asarray(x[:, 0]), jnp.asarray(w))
+    dense_r = r.update(jnp.asarray(x[w.astype(bool), 0]))
+    np.testing.assert_allclose(float(masked_r.mean), float(dense_r.mean),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(masked_r.var), float(dense_r.var),
+                               rtol=1e-4)
+
+
 def test_normalize_denormalize_roundtrip_and_clip():
     rms = RunningMeanStd.create(3).update(
         jnp.asarray(np.random.default_rng(1).normal(5.0, 0.1, (100, 3))))

