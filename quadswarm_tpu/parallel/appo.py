@@ -19,9 +19,21 @@ on one chip — APPO lag=1 measured 1.82M agent-steps/s vs 2.15M for the
 fused sync Trainer (the gap is the learner-side value/log-prob recompute
 over the stale trajectory, which sync PPO gets for free from the rollout).
 On one chip APPO is therefore a SEMANTIC choice (SF-style staleness
-tolerance + V-trace), not a throughput one; the latency-hiding value of the
-split is reserved for multi-chip meshes where rollout and learner shards
-can be disjoint (docs/PERF.md "APPO measured" table).
+tolerance + V-trace), not a throughput one.
+
+Multi-chip split (round 5): `split_mesh=(R, L)` places the rollout program
+(env batch, behavior params) on the first R devices and the learner program
+(train state, SGD) on the last L, with the trajectory shipped between the
+submeshes each iteration and fresh params shipped back into the behavior
+queue.  The disjoint PLACEMENT is validated on the 8-virtual-device CPU
+mesh (tests/test_distributed.py::test_appo_disjoint_submesh_placement:
+rollout outputs live only on the rollout submesh, learner state only on
+the learner submesh, training stays green).  Wall-clock overlap of the two
+programs — the latency-hiding payoff, requiring async dispatch across
+REAL disjoint chips — remains unmeasured: no multi-chip hardware is
+available to this build, and virtual CPU devices share one core, so any
+wall-time number would be fiction.  Treat overlap as an untested
+hypothesis with the placement scaffolding in place.
 
 V-trace (Espeholt et al., IMPALA 2018): with clipped importance weights
 rho_t = min(pi/mu, rho_clip), c_t = min(pi/mu, c_clip),
@@ -155,17 +167,46 @@ class APPOTrainer(Trainer):
     def __init__(self, env_cfg, ppo_cfg: PPOConfig, model, dyn_params: Any,
                  seed: int = 0, anneal_schedules: dict | None = None,
                  mesh=None, policy_lag: int = 1,
-                 base_rew_coeff: dict | None = None):
+                 base_rew_coeff: dict | None = None,
+                 split_mesh: tuple[int, int] | None = None):
+        if split_mesh is not None:
+            # Disjoint rollout/learner submeshes: the env batch + behavior
+            # params live on the first R devices, the train state + SGD on
+            # the last L.  See module docstring — placement is validated;
+            # wall-clock overlap needs real multi-chip hardware.
+            from quadswarm_tpu.parallel.mesh import make_mesh
+            r, l = split_mesh
+            devs = jax.devices()
+            if r + l > len(devs):
+                raise ValueError(f"split_mesh={split_mesh} needs {r + l} "
+                                 f"devices, have {len(devs)}")
+            if mesh is not None:
+                raise ValueError("pass either mesh or split_mesh, not both")
+            mesh = make_mesh(devs[:r])
+            self._learn_mesh = make_mesh(devs[r:r + l])
+        else:
+            self._learn_mesh = None
         super().__init__(env_cfg, ppo_cfg, model, dyn_params, seed=seed,
                          anneal_schedules=anneal_schedules, mesh=mesh,
                          base_rew_coeff=base_rew_coeff)
         self.policy_lag = policy_lag
+        if self._learn_mesh is not None:
+            # learner-resident state moves to the learner submesh
+            lrsh = replicated_sharding(self._learn_mesh)
+            self.train_state = jax.device_put(self.train_state, lrsh)
+            self.norm_state = jax.device_put(self.norm_state, lrsh)
         self._build_appo_fns()
         # queue[0] is the behavior version for the next rollout; with lag L
         # the rollout dispatched at iteration i uses the learner output of
-        # iteration i-1-L (clipped at init).
-        self._param_queue = deque([self.train_state.params],
+        # iteration i-1-L (clipped at init).  Behavior copies live on the
+        # ROLLOUT submesh when split.
+        self._param_queue = deque([self._behavior_copy(self.train_state.params)],
                                   maxlen=policy_lag + 1)
+
+    def _behavior_copy(self, params):
+        if self._learn_mesh is None:
+            return params
+        return jax.device_put(params, replicated_sharding(self.mesh))
 
     def set_ppo_cfg(self, ppo_cfg: PPOConfig) -> None:
         # Rebuild BOTH asynchronous programs — ppo_cfg is static in each.
@@ -193,7 +234,9 @@ class APPOTrainer(Trainer):
         # Trajectory arrays are [T, E, ...] — env batch on axis 1.  Pinning
         # the rollout OUTPUT sharding to the learner INPUT sharding guarantees
         # the ~240 MB trajectory is never resharded/copied between the two
-        # programs (VERDICT r2 weak #3).
+        # programs when they share one mesh (VERDICT r2 weak #3).  With
+        # split_mesh, the learner's shardings live on ITS submesh and the
+        # trajectory is explicitly shipped across in iteration().
         from jax.sharding import NamedSharding, PartitionSpec
         tsh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
         self._rollout_fn = jax.jit(
@@ -201,6 +244,10 @@ class APPOTrainer(Trainer):
             in_shardings=(rsh, bsh, bsh, rsh, rsh, replay_sh, rsh),
             out_shardings=(bsh, bsh, replay_sh, tsh, tsh),
             donate_argnums=(1, 2, 5))
+        lmesh = self._learn_mesh if self._learn_mesh is not None else self.mesh
+        self._tsh_l = NamedSharding(lmesh, PartitionSpec(None, "data"))
+        self._bsh_l = batch_sharding(lmesh)
+        self._rsh_l = replicated_sharding(lmesh)
         # NOTE on donation: train_state is NOT donated — the behavior queue
         # aliases its params buffers across iterations.  last_obs (arg 2) is
         # self.obs, which the next rollout still needs.  The trajectory is
@@ -210,7 +257,8 @@ class APPOTrainer(Trainer):
         # are freed by refcount when `traj` drops after the call regardless).
         self._learn_fn = jax.jit(
             functools.partial(appo_learn, model, ppo_cfg),
-            in_shardings=(rsh, tsh, bsh, rsh, rsh))
+            in_shardings=(self._rsh_l, self._tsh_l, self._bsh_l,
+                          self._rsh_l, self._rsh_l))
 
     def iteration(self):
         self.key, k_roll, k_learn = jax.random.split(self.key, 3)
@@ -218,13 +266,26 @@ class APPOTrainer(Trainer):
             lambda x: jnp.asarray(x, self.env_cfg.dtype),
             self.current_rew_coeff())
         behavior_params = self._param_queue[0]
+        split = self._learn_mesh is not None
+        # With split_mesh the normalizer is learner-resident; the rollout
+        # gets a shipped copy on its own submesh (SF likewise broadcasts
+        # shared normalizer stats to the actors).
+        norm_r = (jax.device_put(self.norm_state,
+                                 replicated_sharding(self.mesh))
+                  if split else self.norm_state)
         (self.env_states, self.obs, self.replay_states, traj,
          infos) = self._rollout_fn(behavior_params, self.env_states, self.obs,
                                    k_roll, rew_coeff, self.replay_states,
-                                   self.norm_state)
+                                   norm_r)
+        if split:
+            # Ship the trajectory + bootstrap obs to the learner submesh.
+            traj = jax.device_put(traj, self._tsh_l)
+            last_obs = jax.device_put(self.obs, self._bsh_l)
+        else:
+            last_obs = self.obs
         self.train_state, metrics, self.norm_state = self._learn_fn(
-            self.train_state, traj, self.obs, k_learn, self.norm_state)
-        self._param_queue.append(self.train_state.params)
+            self.train_state, traj, last_obs, k_learn, self.norm_state)
+        self._param_queue.append(self._behavior_copy(self.train_state.params))
         self.env_steps += (self.ppo_cfg.rollout * self.ppo_cfg.num_envs
                            * self.env_cfg.num_agents)
         return metrics, infos

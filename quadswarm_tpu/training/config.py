@@ -171,6 +171,11 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
                    help="XLA unroll factor for the sequential minibatch-SGD "
                         "scan (TPU knob, no reference analogue)")
     # APPO (SF --async_rl / --with_vtrace; parallel/appo.py)
+    p.add_argument("--appo_split_devices", default="", type=str,
+                   help="APPO disjoint submeshes as 'R,L': rollout program "
+                        "on the first R devices, learner on the next L "
+                        "(parallel/appo.py split_mesh; placement validated "
+                        "on the CPU mesh, overlap untested)")
     p.add_argument("--async_rl", default=False, type=str2bool,
                    help="policy-lag (two-program) APPO trainer")
     p.add_argument("--policy_lag", default=1, type=int)

@@ -124,10 +124,13 @@ def main(argv=None) -> int:
 
     if getattr(args, "async_rl", False):
         from quadswarm_tpu.parallel.appo import APPOTrainer
+        split = (tuple(int(x) for x in args.appo_split_devices.split(","))
+                 if args.appo_split_devices else None)
         trainer = APPOTrainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,
                               anneal_schedules=anneal,
                               policy_lag=args.policy_lag,
-                              base_rew_coeff=base_coeff, mesh=mesh)
+                              base_rew_coeff=base_coeff, mesh=mesh,
+                              split_mesh=split)
     else:
         from quadswarm_tpu.parallel.ppo import Trainer
         trainer = Trainer(env_cfg, ppo_cfg, model, dyn, seed=args.seed,

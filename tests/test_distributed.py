@@ -139,6 +139,51 @@ print(f"proc {pid} CLI OK", flush=True)
 """
 
 
+def test_appo_disjoint_submesh_placement():
+    """APPO split_mesh=(R, L): rollout program (env batch, behavior params)
+    on the first R devices, learner (train state, SGD) on the last L, with
+    the trajectory shipped between submeshes each iteration.  Validates the
+    disjoint PLACEMENT compiles and trains green on the 8-virtual-device
+    CPU mesh; wall-clock overlap needs real multi-chip hardware (see
+    parallel/appo.py module docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadswarm_tpu.env.multi import EnvConfig
+    from quadswarm_tpu.env.params import make_dynamics_params
+    from quadswarm_tpu.models.actor_critic import ActorCritic
+    from quadswarm_tpu.parallel.appo import APPOTrainer
+    from quadswarm_tpu.parallel.ppo import PPOConfig
+
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest sets up 8 virtual CPU devices"
+    env_cfg = EnvConfig(num_agents=2, ep_time=0.5, neighbor_visible_num=1,
+                        neighbor_obs_type="pos_vel",
+                        quads_mode="static_same_goal", dtype=jnp.float32)
+    ppo_cfg = PPOConfig(rollout=4, batch_size=16, num_envs=8)
+    model = ActorCritic(self_obs_dim=18, neighbor_obs_dim=6, num_neighbors=1,
+                        encoder_type="corl", neighbor_encoder_type="attention",
+                        rnn_size=16, neighbor_hidden=16)
+    trainer = APPOTrainer(env_cfg, ppo_cfg, model, make_dynamics_params(),
+                          seed=0, policy_lag=1, split_mesh=(4, 4))
+    rollout_devs, learn_devs = set(devs[:4]), set(devs[4:])
+    for _ in range(2):
+        metrics, _ = trainer.iteration()
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    # env batch lives only on the rollout submesh
+    env_on = {s.device for s in trainer.obs.addressable_shards}
+    assert env_on == rollout_devs, env_on
+    # learner state lives only on the learner submesh
+    p_leaf = jax.tree.leaves(trainer.train_state.params)[0]
+    learn_on = {s.device for s in p_leaf.addressable_shards}
+    assert learn_on <= learn_devs and learn_on, learn_on
+    # the behavior copy the next rollout will consume is rollout-resident
+    b_leaf = jax.tree.leaves(trainer._param_queue[0])[0]
+    behavior_on = {s.device for s in b_leaf.addressable_shards}
+    assert behavior_on <= rollout_devs and behavior_on, behavior_on
+
+
 # Multi-process PBT (round-4 verdict Missing #2): both PBT runners driven
 # across OS processes on the global mesh, through a forced pbt_round.  The
 # rank-identity argument (training/train.py:106-107) becomes a tested
