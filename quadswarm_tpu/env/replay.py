@@ -297,16 +297,18 @@ def batched_replay_step(cfg: EnvConfig, params: Any, sample_prob: float,
     did_replay = info.pop("replay/did_replay")
 
     # Deferred slow-tick work — ring writes, replay-state selection, and
-    # fresh resets — behind ONE outer lax.cond.  A data-dependent cond is
-    # not free even when its branch is a no-op: the scalar core must wait
-    # for the reduced predicate before dispatching the branch, a fixed
-    # ~90 us pipeline bubble per cond per tick on v5e (measured — three
-    # separate conds cost the train rollout ~52 ms/iter at 1024 envs while
-    # shrinking the rings 6x moved nothing, so the cost is the bubbles, not
-    # the ring traffic; docs/PERF.md round-5).  One outer cond pays one
-    # bubble per tick like the plain path; the replay/reset branches nest
-    # INSIDE it, so their extra bubbles and bodies only run on the rare
-    # fire ticks (checkpoint cadence, collision writes, episode ends).
+    # fresh resets — behind ONE outer lax.cond.  A data-dependent cond
+    # whose branches differ is not free even when the branch never runs:
+    # measured ~90-100 us per cond per tick on v5e, independent of
+    # predicate timing (pre-computable predicates move nothing; identity-
+    # branch conds canonicalize away; a tiny-body cond pays the same as a
+    # heavy one — branch-differ buffer handling, not predicate latency or
+    # branch compute).  Three separate conds cost the train rollout
+    # ~52 ms/iter at 1024 envs while shrinking the rings 6x moved nothing
+    # (docs/PERF.md round-5).  One outer cond pays the toll once per tick
+    # like the plain path; the replay/reset branches nest INSIDE it, so
+    # their own cond cost and bodies only materialize on the rare fire
+    # ticks (checkpoint cadence, collision writes, episode ends).
     save_cp = info.pop("replay/_save_cp")
     cp_slot = info.pop("replay/_cp_slot")
     can_write = info.pop("replay/_can_write")
