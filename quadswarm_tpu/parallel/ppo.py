@@ -251,10 +251,18 @@ def shuffled_minibatches(tree, dims: tuple, batch_size: int, key,
 
     * CHUNKS, not rows: a random row permutation makes x[perm] a 262k-row
       random gather (~170 ms/iter; scalar-indexed gathers serialize);
-      permuting strided blocks keeps the gather coarse and bandwidth-bound.
-      Chunks are stride-num_chunks slices of each group's t-major stream,
-      so every chunk — and therefore every minibatch — spans all rollout
-      timesteps (the reference shuffles per-sample; docs/PARITY.md).
+      permuting blocks keeps the gather coarse and bandwidth-bound.
+      Chunks are TWO-AXIS TILES of each group's (T, env*agent) sample
+      grid — tb timesteps x sb agent-series (tb*sb = chunk, tb <= 16) —
+      so every chunk spans MANY timesteps AND many distinct agent series
+      (the reference shuffles per-sample; docs/PARITY.md).  Round-5 fix:
+      the previous stride-num_chunks slicing had a power-of-2 degeneracy —
+      at baseline shapes gcd(num_chunks, E*N) left only TWO distinct
+      (env, agent) series per 256-row chunk, i.e. 8 per minibatch, which
+      starves sample diversity and makes mixed-PBT per-policy masks empty
+      in ~1/3 of minibatches ((7/8)^8); the tiling gives 64 series per
+      minibatch at the same gather coarseness.  Falls back to the strided
+      slicing when tile divisibility fails (tiny test shapes).
     * GROUPED by env range: the buffer is split into g = gcd(E, batch,
       `groups`) contiguous env groups and every minibatch draws an equal
       number of chunks from each group.  Under a data-sharded env batch
@@ -290,15 +298,29 @@ def shuffled_minibatches(tree, dims: tuple, batch_size: int, key,
         lambda k: jax.random.permutation(k, num_chunks)
     )(jax.random.split(key, g))[:, : num_minibatches * bc]   # (g, sel)
 
+    # Two-axis tile shape: tb timesteps x sb series per chunk (see
+    # docstring).  tb divides both t_dim and chunk; sb must divide the
+    # group's series count, else fall back to the strided-slice layout.
+    eng = (e_dim // g) * n_dim
+    tb = math.gcd(t_dim, chunk)
+    tb = min(tb, 16)
+    while chunk % tb:
+        tb //= 2
+    sb = chunk // tb
+    tiled = tb > 1 and sb > 0 and eng % sb == 0 and s_g == num_chunks * chunk
+
     def layout(x):
         rest = x.shape[3:]
-        # Group = contiguous env range (device shard); stream within a
-        # group is T-MAJOR so a stride-interleaved chunk spans the whole
-        # rollout time range regardless of the group count.
-        xs = x.reshape((t_dim, g, e_dim // g, n_dim) + rest)
-        xs = jnp.moveaxis(xs, 1, 0).reshape((g, s_g) + rest)
-        xs = xs[:, : num_chunks * chunk]
-        xs = xs.reshape((g, chunk, num_chunks) + rest).swapaxes(1, 2)
+        # Group = contiguous env range (device shard).
+        xs = x.reshape((t_dim, g, eng) + rest)
+        xs = jnp.moveaxis(xs, 1, 0)                       # (g, T, eng)
+        if tiled:
+            xs = xs.reshape((g, t_dim // tb, tb, eng // sb, sb) + rest)
+            xs = xs.swapaxes(2, 3)                        # tile-major
+            xs = xs.reshape((g, num_chunks, chunk) + rest)
+        else:
+            xs = xs.reshape((g, s_g) + rest)[:, : num_chunks * chunk]
+            xs = xs.reshape((g, chunk, num_chunks) + rest).swapaxes(1, 2)
         idx = perms.reshape(perms.shape + (1,) * (xs.ndim - 2))
         xs = jnp.take_along_axis(xs, idx, axis=1)
         xs = xs.reshape((g, num_minibatches, b) + rest)

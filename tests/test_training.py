@@ -219,3 +219,28 @@ def test_shuffled_minibatches_layout():
     t1 = np.asarray(mb1) // (e_dim * n_dim)
     for row_t in t1:
         assert len(np.unique(row_t)) == t_dim
+
+
+def test_shuffled_minibatches_series_diversity():
+    """Round-5 regression: at baseline-like power-of-2 shapes the old
+    stride-num_chunks slicing left only TWO distinct (env, agent) series
+    per chunk — 8 per minibatch — which starves sample diversity and makes
+    mixed-PBT per-policy masks empty in ~(7/8)^8 of minibatches.  The
+    two-axis tile layout must give every minibatch many distinct series
+    AND many distinct timesteps."""
+    from quadswarm_tpu.parallel.ppo import shuffled_minibatches
+
+    t_dim, e_dim, n_dim, batch = 128, 64, 8, 1024
+    total = t_dim * e_dim * n_dim
+    idx = jnp.arange(total).reshape(t_dim, e_dim, n_dim)
+    mb = np.asarray(shuffled_minibatches(
+        (idx,), (t_dim, e_dim, n_dim), batch, jax.random.PRNGKey(3),
+        groups=1)[0])
+    assert np.array_equal(np.sort(mb.ravel()), np.arange(total))
+    series = mb % (e_dim * n_dim)
+    tsteps = mb // (e_dim * n_dim)
+    for i in range(mb.shape[0]):
+        assert len(np.unique(series[i])) >= 32, \
+            f"minibatch {i}: series diversity collapsed"
+        assert len(np.unique(tsteps[i])) >= 16, \
+            f"minibatch {i}: timestep diversity collapsed"
