@@ -57,8 +57,9 @@ def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
         use_pallas_dynamics=use_pallas,
         # Fused pair kernels: OFF by default, same as the train CLI — the
         # XLA (N, N) path measured 1.3-1.4x faster through the env step at
-        # every N in 128..1024 on v5e (docs/PERF.md).  --pallas_pairs forces
-        # them on (O(N) pair memory for very large swarms).
+        # every supported N in 128..2048 on v5e, and the O(N)-memory
+        # premise never materializes (retired to a documented reference
+        # implementation, docs/PERF.md).  --pallas_pairs forces them on.
         use_pallas_pairs=(False if use_pallas_pairs is None
                           else use_pallas_pairs),
         dtype=jnp.float32)
@@ -248,7 +249,8 @@ if __name__ == "__main__":
     p.add_argument("--pallas_pairs", action="store_true", default=None,
                    help="force the fused Pallas pair kernels in the env path "
                         "(default: off — the XLA (N, N) path measured "
-                        "1.3-1.4x faster at N=128..1024; see docs/PERF.md)")
+                        "1.3-1.4x faster at every supported N in 128..2048; "
+                        "retired to a reference implementation, docs/PERF.md)")
     p.add_argument("--no-pallas_pairs", dest="pallas_pairs",
                    action="store_false",
                    help="force the XLA (N, N) pairwise path")

@@ -63,12 +63,14 @@ def add_quadrotors_env_args(p: argparse.ArgumentParser) -> None:
                    help="fused Pallas dynamics kernel (auto: on for TPU)")
     p.add_argument("--quads_use_pallas_pairs", default="false",
                    choices=["true", "false"],
-                   help="fused Pallas pair kernels + packed pair history "
-                        "(O(N) pair memory).  Measured SLOWER than the XLA "
-                        "(N, N) path through the env step at N=128..1024 on "
-                        "v5e (docs/PERF.md), so off by default; turn on for "
-                        "very large swarms where the (N, N) buffers press "
-                        "HBM.")
+                   help="fused Pallas pair kernels + packed pair history. "
+                        "Measured SLOWER than the XLA (N, N) path through "
+                        "the env step at every supported N in 128..2048 on "
+                        "v5e, and the O(N)-memory premise never "
+                        "materializes (peak HBM of the XLA path is 11%% of "
+                        "the chip even at N=4096) — retired to a "
+                        "documented, opt-in reference implementation "
+                        "(docs/PERF.md).")
     # Accepted-and-ignored for drop-in compatibility with reference training
     # commands (quadrotor_params.py:21 — numba has no meaning here; the
     # TPU analogue is --quads_use_pallas).
@@ -344,12 +346,12 @@ def env_config_from_args(args) -> "EnvConfig":
         obst_size_max=args.quads_obst_size_max,
         use_downwash=args.quads_use_downwash,
         quads_mode=args.quads_mode,
-        # Fused pair kernels (collision masks + k-nearest obs, O(N) pair
-        # memory — ops/pallas/swarm_interactions.py).  Round-3 on-TPU
-        # measurements (docs/PERF.md): the XLA (N, N) path is 1.3-1.4x
-        # FASTER through the whole env step at every N in 128..1024, so the
-        # kernels are opt-in (memory relief for very large N), not an
-        # automatic speed gate.
+        # Fused pair kernels (collision masks + k-nearest obs —
+        # ops/pallas/swarm_interactions.py).  On-TPU measurements
+        # (docs/PERF.md): the XLA (N, N) path is 1.3-1.4x FASTER through
+        # the whole env step at every supported N in 128..2048 and pair
+        # memory never presses HBM, so the kernels are a retired, opt-in
+        # reference implementation, not an automatic gate.
         use_pallas_pairs=(jax.default_backend() == "tpu"
                           and args.quads_use_pallas_pairs == "true"),
         use_pallas_dynamics=(jax.default_backend() == "tpu"
