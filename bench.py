@@ -30,7 +30,7 @@ def _median_spread(runs: list[float]) -> tuple[float, float]:
 
 
 def bench(num_envs: int = 4096, num_agents: int = 8, block: int = 100,
-          warmup_blocks: int = 2, blocks: int = 5, repeats: int = 5,
+          warmup_blocks: int = 2, blocks: int = 10, repeats: int = 5,
           use_pallas: bool | None = None, use_pallas_pairs: bool | None = None,
           obstacles: bool = False,
           mode: str | None = None) -> dict:
@@ -240,7 +240,11 @@ if __name__ == "__main__":
     p.add_argument("--num_envs", type=int, default=4096)
     p.add_argument("--num_agents", type=int, default=8)
     p.add_argument("--block", type=int, default=100)
-    p.add_argument("--blocks", type=int, default=5)
+    p.add_argument("--blocks", type=int, default=10,
+                   help="timed scan blocks per delta-method region; keep "
+                        "the region >= 0.3 s of device time or the hosted "
+                        "tunnel's noise floor dominates the spread "
+                        "(docs/results/round5_measurements.md)")
     p.add_argument("--pallas", action="store_true", default=None,
                    help="integrate dynamics with the fused Pallas kernel "
                         "(default: auto — on for TPU, off elsewhere)")
@@ -316,8 +320,12 @@ if __name__ == "__main__":
         for n in (1, 8, 32, 128):
             # keep total per-step work comparable: fewer envs for big swarms
             envs = max(64, args.num_envs * 8 // max(8, n))
+            # ... and the timed region comparable: small swarms do less
+            # work per step, so scale the block count up (spread lesson,
+            # docs/results/round5_measurements.md "N sweep")
+            blocks = args.blocks * max(1, 8 // n)
             r = bench(num_envs=envs, num_agents=n, block=args.block,
-                      blocks=args.blocks, repeats=args.repeats,
+                      blocks=blocks, repeats=args.repeats,
                       use_pallas=args.pallas,
                       use_pallas_pairs=args.pallas_pairs)
             r["vs_baseline"] = round(r["value"] / REFERENCE_SPS[n], 2)
